@@ -1,0 +1,137 @@
+"""Pure-Python URL canonicalization core — the single source of truth.
+
+Both the Spark pandas-UDF path (``loong_spark.canon``) and the pure-Python
+scheduler oracle (``loong_spark.oracle``) import these functions, so the
+per-row invariant ("Spark output == oracle output") cannot drift.
+
+Semantics mirror the reference crawler's ``resolve_href``
+(/root/reference/lib/Loong/Scraper.pm:87-100) and host helpers
+(/root/reference/lib/Loong/Scraper.pm:59-66, lib/Loong/Utils.pm:32-37,
+lib/Loong/Crawler.pm:190), re-specified here as documented, deterministic
+behavior (the reference's unescaped-dot regex bugs are intentionally NOT
+replicated — see SURVEY.md §7 "Explicit non-goals"):
+
+* strip surrounding whitespace
+* drop ``#fragment``
+* scheme-qualified hrefs pass through (after fragment strip)
+* scheme-relative ``//host/path`` adopts the base's scheme
+* root-relative ``/path`` resolves against the base's origin
+* relative paths resolve against the base's directory, with ``.`` and
+  ``..`` segments collapsed (``..`` at the root is dropped, as browsers do)
+* an empty href (or fragment-only href) resolves to the base without its
+  fragment
+* host comparison is case-insensitive (hosts are lowercased)
+
+No I/O, no randomness: everything here is a pure function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+_SCHEMES = ("http://", "https://")
+
+
+def url_md5(url: str) -> str:
+    """md5 hex of the canonical URL (reference: ``url_md5 = md5_hex(url)``,
+    /root/reference/lib/Loong/Crawler.pm:190)."""
+    return hashlib.md5(url.encode("utf-8")).hexdigest()
+
+
+def split_url(url: str) -> tuple[str, str, str]:
+    """Return (scheme, host, path_and_query) — tiny, loop-free splitter.
+    Scheme match is case-insensitive; scheme and host are lowercased."""
+    low = url.lower()
+    for scheme in _SCHEMES:
+        if low.startswith(scheme):
+            rest = url[len(scheme):]
+            slash = rest.find("/")
+            if slash < 0:
+                return scheme[:-3], rest.lower(), "/"
+            return scheme[:-3], rest[:slash].lower(), rest[slash:]
+    return "", "", url
+
+
+def extract_host(url: str) -> str:
+    """Lowercased host of an absolute URL, '' otherwise."""
+    return split_url(url)[1]
+
+
+def trim_domain(host: str) -> str:
+    """Strip a leading ``www.`` label (reference intent of ``trim_domain``,
+    /root/reference/lib/Loong/Utils.pm:32-37, with the dot escaped)."""
+    return host[4:] if host.startswith("www.") else host
+
+
+def _collapse_segments(path: str) -> str:
+    """Collapse ``.``/``..`` segments of an absolute path ('/a/./b/../c')."""
+    out: list[str] = []
+    trailing_slash = path.endswith("/")
+    for seg in path.split("/"):
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+        else:
+            out.append(seg)
+    collapsed = "/" + "/".join(out)
+    if trailing_slash and not collapsed.endswith("/"):
+        collapsed += "/"
+    return collapsed
+
+
+def resolve_href(base: str, href: str) -> str:
+    """Resolve ``href`` found on page ``base`` into a canonical absolute URL.
+
+    Returns '' for hrefs that cannot become crawlable http(s) URLs
+    (javascript:, mailto:, data:, unknown schemes).
+    Reference semantics: /root/reference/lib/Loong/Scraper.pm:87-100.
+    """
+    href = href.strip()
+    frag = href.find("#")
+    if frag >= 0:
+        href = href[:frag]
+
+    if href == "":
+        base_frag = base.find("#")
+        return base[:base_frag] if base_frag >= 0 else base
+
+    low = href.lower()
+    if low.startswith(_SCHEMES):
+        scheme, host, path = split_url(href)
+        return f"{scheme}://{host}{_collapse_segments(path) if path else '/'}"
+    # non-http schemes are not crawlable
+    if ":" in href.split("/", 1)[0] and not href.startswith("//"):
+        return ""
+
+    b_scheme, b_host, b_path = split_url(base)
+    if not b_scheme:
+        return ""
+
+    if href.startswith("//"):
+        _, host2, path2 = split_url("http://" + href[2:])
+        return f"{b_scheme}://{host2}{_collapse_segments(path2)}"
+    if href.startswith("/"):
+        return f"{b_scheme}://{b_host}{_collapse_segments(href)}"
+
+    # relative: resolve against the base's directory
+    q = b_path.find("?")
+    dir_path = b_path[:q] if q >= 0 else b_path
+    dir_path = dir_path[: dir_path.rfind("/") + 1]  # keep trailing slash
+    return f"{b_scheme}://{b_host}{_collapse_segments(dir_path + href)}"
+
+
+def robots_match(path: str, disallow: list[str] | None, allow: list[str] | None) -> bool:
+    """True if ``path`` is ALLOWED. Longest-prefix-wins between allow and
+    disallow rules (the standard robots.txt resolution order). The reference
+    has no robots support (verified repo-wide); this is a north-rule
+    addition (SURVEY.md §7)."""
+    best_allow = max((len(p) for p in (allow or []) if path.startswith(p)), default=-1)
+    best_disallow = max((len(p) for p in (disallow or []) if path.startswith(p)), default=-1)
+    return best_allow >= best_disallow
+
+
+def canonicalize(base: str, href: str) -> str:
+    """Full per-link canonicalization: resolve + normalize. '' = drop."""
+    return resolve_href(base, href)

@@ -1,0 +1,72 @@
+"""Crawl configuration — the Spark-side analogue of the reference's INI
+config tree (/root/reference/lib/Loong/Config.pm:40-59,
+conf/site/*/crawl.ini) plus engine-scale knobs.
+
+All values are plain data so the whole config broadcasts cheaply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # -- scheduling discipline (reference semantics) -----------------------
+    #: global in-flight budget per micro-batch
+    #: (reference MAX_CONCURRENT=20 /root/reference/lib/Loong/Crawler.pm:27,
+    #: times process_num=8 in conf/loong.ini → default 160)
+    global_budget: int = 160
+    #: default per-host cap when the politeness table has no row
+    #: (reference `ua.max_active`, conf/site/*/crawl.ini: 2–20)
+    default_max_active: int = 8
+    #: default politeness delay in batch ticks (reference `ua.interval`;
+    #: default rand(1) s pinned to 1 tick — SURVEY.md §2.6 O2)
+    default_delay: int = 1
+    #: retry ceiling for failed fetches (reference re-enqueues at tail,
+    #: /root/reference/lib/Loong/Crawler.pm:69-76; cap is ours)
+    max_attempts: int = 3
+
+    # -- priority re-scoring (SURVEY.md §2.6 O7) ---------------------------
+    #: priority = w_depth * depth + w_host * log1p(host_seen_count);
+    #: lower sorts first. Ordering key is (priority, depth, seq).
+    w_depth: float = 1.0
+    w_host: float = 0.1
+
+    # -- scale knobs -------------------------------------------------------
+    #: bloom-filter shards (shard_id = xxhash64(url_hash) % n_shards);
+    #: at 10^10 URLs with 10 bits/URL this is ~1.25 GB of bitset total,
+    #: so n_shards must keep each shard « executor memory. 64 shards ×
+    #: ~20 MB works at 10^9; scale n_shards linearly with frontier size.
+    n_shards: int = 16
+    #: bloom bits per expected URL (10 bits ≈ 0.9% FP with k=7)
+    bloom_bits_per_url: int = 10
+    bloom_num_hashes: int = 7
+    #: expected URLs per shard used to size bitsets at bootstrap
+    bloom_expected_per_shard: int = 1 << 17
+    #: salts for hot-host skew in parse/dedup stages (SURVEY.md §4)
+    n_salts: int = 8
+    #: shuffle partitions for the pipeline's stages
+    shuffle_partitions: int = 32
+
+    # -- stopping ----------------------------------------------------------
+    max_batches: int = 10_000
+    #: use the sharded bloom prefilter (exact anti-join always backstops)
+    use_bloom: bool = True
+
+    def delay_for(self, politeness: dict | None) -> int:
+        return int(politeness["delay_s"]) if politeness else self.default_delay
+
+    def max_active_for(self, politeness: dict | None) -> int:
+        return int(politeness["max_active"]) if politeness else self.default_max_active
+
+
+@dataclass
+class HostPolicy:
+    """One politeness-table row (FIXTURES.md §3)."""
+
+    host: str
+    delay_s: int = 1
+    max_active: int = 8
+    robots_disallow: list[str] = field(default_factory=list)
+    robots_allow: list[str] = field(default_factory=list)

@@ -1,0 +1,234 @@
+"""Deterministic synthetic web graph + interleaved-docs corpus (FIXTURES.md).
+
+Every page is a pure function of ``(seed, page_id)`` — hash-derived, no
+RNG state — so the pure-Python oracle, the Spark pipeline tests, and the
+distributed bench generator all see byte-identical content without ever
+materializing the graph twice.
+
+Replaces the reference's live-site fetches
+(/root/reference/lib/Loong/Crawler.pm:179, t/crawler.t) with a hermetic
+corpus. Host skew is Zipf-distributed to exercise hot-host salting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+from .canon_core import url_md5
+from .config import HostPolicy
+
+_WORDS = (
+    "frontier crawl host queue seed fetch parse link span media page "
+    "politeness robots depth priority shard bloom hash batch commit"
+).split()
+
+
+def _h(*parts) -> int:
+    """Stable 64-bit hash of the parts (md5-based; platform-independent)."""
+    s = ":".join(str(p) for p in parts)
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+@dataclass(frozen=True)
+class GraphParams:
+    n_hosts: int = 5
+    n_pages: int = 50  # total pages INCLUDING the n_hosts root pages
+    n_seeds: int = 2
+    zipf_s: float = 1.2
+    max_links: int = 6
+    seed: int = 42
+
+
+@lru_cache(maxsize=16)
+def _zipf_cdf(p: "GraphParams") -> tuple[float, ...]:
+    w = [1.0 / (r + 1) ** p.zipf_s for r in range(p.n_hosts)]
+    tot = sum(w)
+    acc, out = 0.0, []
+    for x in w:
+        acc += x / tot
+        out.append(acc)
+    return tuple(out)
+
+
+def host_of(p: GraphParams, pid: int) -> int:
+    """Host index for a page id: roots map 1:1, others Zipf-skewed."""
+    if pid < p.n_hosts:
+        return pid
+    u = (_h(p.seed, "host", pid) % (1 << 32)) / float(1 << 32)
+    cdf = _zipf_cdf(p)
+    lo, hi = 0, len(cdf) - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if u <= cdf[mid]:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def page_path(p: GraphParams, pid: int) -> str:
+    if pid < p.n_hosts:
+        return "/"
+    r = _h(p.seed, "path", pid) % 10
+    if r < 5:
+        return f"/p/{pid}"
+    if r < 7:
+        return f"/d/{r}/{pid}"
+    if r < 9:
+        return f"/x/{pid}"          # robots-disallowed on some hosts
+    return f"/x/ok/{pid}"           # robots allow-override
+
+def page_url(p: GraphParams, pid: int) -> str:
+    return f"http://h{host_of(p, pid)}.example{page_path(p, pid)}"
+
+
+def page_status(p: GraphParams, pid: int) -> int:
+    if pid < p.n_hosts:
+        return 200  # seeds always fetchable
+    r = _h(p.seed, "status", pid) % 100
+    if r < 92:
+        return 200
+    if r < 94:
+        return 301
+    if r < 97:
+        return 404
+    return 500
+
+
+def page_content_type(p: GraphParams, pid: int) -> str:
+    if pid >= p.n_hosts and _h(p.seed, "ctype", pid) % 100 < 3:
+        return "image/jpeg"
+    return "text/html"
+
+
+def page_spans(p: GraphParams, pid: int) -> list[dict]:
+    """Interleaved text+media span sequence (kind, text, media_ref, offset)."""
+    n = 1 + _h(p.seed, "nspans", pid) % 6
+    spans = []
+    for i in range(n):
+        if _h(p.seed, "skind", pid, i) % 3 == 0:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"media://h{host_of(p, pid)}/img{_h(p.seed, 'img', pid, i) % 1000}.jpg",
+                    "offset": i,
+                }
+            )
+        else:
+            w = [_WORDS[_h(p.seed, "w", pid, i, j) % len(_WORDS)] for j in range(3 + i % 4)]
+            spans.append({"kind": "text", "text": " ".join(w), "media_ref": "", "offset": i})
+    return spans
+
+
+def _render_href(p: GraphParams, src_pid: int, dst_pid: int, k: int) -> str:
+    """Render a link to dst as it would appear in src's HTML: absolute,
+    relative (./, ../, bare), fragment-bearing, or whitespace-padded —
+    exercises resolve_href (/root/reference/lib/Loong/Scraper.pm:87-100)."""
+    dst_url = page_url(p, dst_pid)
+    same_host = host_of(p, src_pid) == host_of(p, dst_pid)
+    form = _h(p.seed, "form", src_pid, dst_pid, k) % 8
+    if not same_host or form < 3:
+        href = dst_url
+    else:
+        dst_path = page_path(p, dst_pid)
+        src_path = page_path(p, src_pid)
+        src_dir = src_path[: src_path.rfind("/") + 1]
+        depth_up = max(src_dir.count("/") - 1, 0)
+        if form == 3:
+            href = "../" * depth_up + dst_path.lstrip("/")
+        elif form == 4 and src_dir == dst_path[: dst_path.rfind("/") + 1]:
+            href = dst_path[dst_path.rfind("/") + 1 :]  # bare filename
+        elif form == 5:
+            href = "./" + "../" * depth_up + dst_path.lstrip("/")
+        else:
+            href = dst_path  # root-relative
+    if _h(p.seed, "frag", src_pid, dst_pid, k) % 4 == 0:
+        href += f"#sec{k}"
+    if _h(p.seed, "pad", src_pid, dst_pid, k) % 5 == 0:
+        href = f"  {href} "
+    return href
+
+
+def page_out_links(p: GraphParams, pid: int) -> list[str]:
+    """Raw hrefs. Includes deliberate duplicates (dedup pressure mirroring
+    t/filter.t:5-12) and junk schemes (dropped by canonicalization)."""
+    n = _h(p.seed, "nlinks", pid) % (p.max_links + 1)
+    if pid < p.n_hosts:
+        n = max(n, 3)  # roots always link out so crawls go somewhere
+    hrefs = []
+    targets = []
+    for k in range(n):
+        r = _h(p.seed, "ltarget", pid, k)
+        if r % 10 == 0 and targets:
+            dst = targets[r % len(targets)]  # duplicate of an earlier link
+        elif r % 17 == 0:
+            hrefs.append("javascript:void(0)" if r % 2 else "mailto:a@b.c")
+            continue
+        elif r % 3 == 0:
+            dst = host_of(p, pid) if pid >= p.n_hosts else (r % p.n_hosts)  # up-link to a root
+        else:
+            dst = p.n_hosts + r % max(p.n_pages - p.n_hosts, 1)
+        targets.append(dst)
+        hrefs.append(_render_href(p, pid, dst, k))
+    return hrefs
+
+
+def gen_page(p: GraphParams, pid: int) -> dict:
+    url = page_url(p, pid)
+    return {
+        "url": url,
+        "url_hash": url_md5(url),
+        "host": f"h{host_of(p, pid)}.example",
+        "status": page_status(p, pid),
+        "content_type": page_content_type(p, pid),
+        "body_spans": page_spans(p, pid),
+        "out_links": page_out_links(p, pid),
+    }
+
+
+@lru_cache(maxsize=4)
+def build_graph(p: GraphParams) -> dict[str, dict]:
+    """url → page dict for the whole (small) fixture graph."""
+    graph: dict[str, dict] = {}
+    for pid in range(p.n_pages):
+        pg = gen_page(p, pid)
+        graph[pg["url"]] = pg
+    return graph
+
+
+def seeds_of(p: GraphParams) -> list[str]:
+    """Seed list = root pages of the first n_seeds hosts (mirrors the
+    comma-split `entry.home` multi-seed list,
+    /root/reference/lib/Loong/Crawler.pm:94-104)."""
+    return [page_url(p, k) for k in range(p.n_seeds)]
+
+
+def politeness_of(p: GraphParams) -> dict[str, HostPolicy]:
+    """Per-host policy table. Some hosts robots-disallow /x/ with an
+    /x/ok/ allow-override (north-rule robots addition, SURVEY.md §7)."""
+    out = {}
+    for k in range(p.n_hosts):
+        host = f"h{k}.example"
+        has_robots = _h(p.seed, "robots", k) % 3 == 0
+        out[host] = HostPolicy(
+            host=host,
+            delay_s=1 + _h(p.seed, "delay", k) % 3,
+            max_active=(2, 4, 8, 20)[_h(p.seed, "maxact", k) % 4],
+            robots_disallow=["/x/"] if has_robots else [],
+            robots_allow=["/x/ok/"] if has_robots else [],
+        )
+    return out
+
+
+# -- canned fixtures (FIXTURES.md §7) --------------------------------------
+TINY = GraphParams(n_hosts=5, n_pages=50, n_seeds=2)
+SMALL = GraphParams(n_hosts=50, n_pages=5000, n_seeds=10)
+SKEWED = GraphParams(n_hosts=20, n_pages=10000, n_seeds=5, zipf_s=1.5)
+
+
+def graph_rows_for_spark(p: GraphParams) -> list[dict]:
+    """Materialize the graph as rows matching schemas.WEB_GRAPH."""
+    return list(build_graph(p).values())

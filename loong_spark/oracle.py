@@ -1,0 +1,206 @@
+"""Pure-Python scheduler oracle — the executable spec of the reference's
+crawl semantics (golden crawl_order / url_seen / metrics generator).
+
+Implements exactly the operators cited in SURVEY.md §2.6 with pinned
+tie-breaks (the reference itself is nondeterministic under forks and
+unordered-hash rule dispatch — SURVEY.md §7 "Hard parts" #1):
+
+* O1 FIFO per-seed order  → monotone ``seq``; total order (priority, depth, seq)
+  (/root/reference/lib/Loong/Crawler.pm:37, :91-100, :263)
+* O2 politeness interval  → per-host next-eligible batch tick
+  (/root/reference/lib/Loong/Crawler.pm:111-114, :299-301)
+* O3 global cap           → first ``global_budget`` in total order
+  (/root/reference/lib/Loong/Crawler.pm:27, :126-127)
+* O4 per-host cap         → first ``max_active`` per host in total order
+  (/root/reference/lib/Loong/Crawler.pm:128-129)
+* O5/F1 dedup gate        → test-and-set seen at enqueue (check marks seen,
+  /root/reference/lib/Loong/Filter.pm:9-27; pinned at enqueue time so a URL
+  enters the frontier at most once — same final seen set on drained crawls)
+* O6 link re-enqueue      → depth+1, parent propagated, fresh seq
+  (/root/reference/lib/Loong/Crawler.pm:257-265)
+* O7 priority re-scoring  → w_d*depth + w_h*log1p(host_seen_before); lower first
+* O8 failed-task retry    → re-enqueue at tail, attempt+1, capped
+  (/root/reference/lib/Loong/Crawler.pm:69-76; queue-tail per Queue.pm:20-23)
+* F2 content-type gate    → only text/html parsed
+  (/root/reference/lib/Loong/Crawler.pm:241-252)
+* F4 status handling      → non-200 → failed (301 croaks in the reference,
+  /root/reference/lib/Loong/Crawler.pm:147-164)
+* robots (north-rule addition): longest-prefix allow/disallow checked at
+  enqueue, before the seen test-and-set (excluded URLs never enter `seen`).
+
+The Spark pipeline (loong_spark.pipeline) must reproduce this total order
+and seen set EXACTLY, independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .canon_core import canonicalize, robots_match, split_url, url_md5
+from .config import CrawlConfig, HostPolicy
+from .gen import GraphParams, build_graph, politeness_of, seeds_of
+
+
+@dataclass
+class Entry:
+    url: str
+    url_hash: str
+    host: str
+    depth: int
+    priority: float
+    seq: int
+    parent: str | None
+    state: str = "queued"
+    attempt: int = 0
+    enqueued_batch: int = 0
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[tuple[int, int, str]] = field(default_factory=list)
+    url_seen: set[str] = field(default_factory=set)          # url_hash
+    docs: dict[str, list[dict]] = field(default_factory=dict)  # doc_id → spans
+    metrics: list[dict] = field(default_factory=list)
+    frontier_log: list[Entry] = field(default_factory=list)   # every entry ever enqueued
+
+
+class Oracle:
+    def __init__(
+        self,
+        graph: dict[str, dict],
+        seeds: list[str],
+        politeness: dict[str, HostPolicy],
+        cfg: CrawlConfig,
+    ):
+        self.graph = graph
+        self.seeds = seeds
+        self.politeness = politeness
+        self.cfg = cfg
+        self.seen: set[str] = set()
+        self.host_seen_count: dict[str, int] = {}
+        self.host_next_eligible: dict[str, int] = {}
+        self.queued: list[Entry] = []
+        self.seq = 0
+        self.res = OracleResult()
+        self._batch_deduped = 0
+        self._batch_robots = 0
+
+    # -- enqueue path (O5/F1 + O7 + robots) --------------------------------
+    def _enqueue(self, url: str, depth: int, parent: str | None, batch: int) -> None:
+        _, host, path = split_url(url)
+        pol = self.politeness.get(host)
+        if pol and not robots_match(path, pol.robots_disallow, pol.robots_allow):
+            self._batch_robots += 1
+            return
+        h = url_md5(url)
+        if h in self.seen:  # test-and-set: check marks seen (Filter.pm:9-27)
+            self._batch_deduped += 1
+            return
+        self.seen.add(h)
+        prior = self.host_seen_count.get(host, 0)
+        self.host_seen_count[host] = prior + 1
+        # quantized to 1e-9 to match frontier.quantize_priority exactly
+        # (JVM/Python libm may differ in the last ulp of log1p)
+        prio = math.floor(
+            (self.cfg.w_depth * depth + self.cfg.w_host * math.log1p(prior)) * 1e9
+        ) / 1e9
+        e = Entry(url, h, host, depth, prio, self.seq, parent, "queued", 0, batch)
+        self.seq += 1
+        self.queued.append(e)
+        self.res.frontier_log.append(e)
+
+    def _requeue_failed(self, e: Entry, batch: int) -> None:
+        """O8: retry at queue tail with fresh seq; priority retained."""
+        if e.attempt + 1 >= self.cfg.max_attempts:
+            e.state = "failed_final"
+            return
+        r = Entry(
+            e.url, e.url_hash, e.host, e.depth, e.priority, self.seq,
+            e.parent, "queued", e.attempt + 1, batch,
+        )
+        self.seq += 1
+        self.queued.append(r)
+        self.res.frontier_log.append(r)
+
+    # -- one micro-batch ----------------------------------------------------
+    def run_batch(self, batch_id: int) -> dict:
+        self._batch_deduped = 0
+        self._batch_robots = 0
+        eligible = [
+            e for e in self.queued
+            if self.host_next_eligible.get(e.host, 0) <= batch_id
+        ]
+        eligible.sort(key=lambda e: (e.priority, e.depth, e.seq))
+        taken_per_host: dict[str, int] = {}
+        scheduled: list[Entry] = []
+        for e in eligible:
+            if len(scheduled) >= self.cfg.global_budget:
+                break
+            cap = self.cfg.max_active_for(
+                self.politeness[e.host].__dict__ if e.host in self.politeness else None
+            )
+            if taken_per_host.get(e.host, 0) >= cap:
+                continue
+            taken_per_host[e.host] = taken_per_host.get(e.host, 0) + 1
+            scheduled.append(e)
+
+        sched_ids = {id(e) for e in scheduled}
+        self.queued = [e for e in self.queued if id(e) not in sched_ids]
+
+        docs_written = failed = links = 0
+        for rank, e in enumerate(scheduled):
+            self.res.crawl_order.append((batch_id, rank, e.url))
+            page = self.graph.get(e.url)
+            if page is None or page["status"] != 200:
+                e.state = "failed"
+                failed += 1
+                self._requeue_failed(e, batch_id)
+                continue
+            e.state = "fetched"
+            if page["content_type"] != "text/html":
+                continue  # F2 content gate: fetched, not parsed
+            doc_id = e.url_hash
+            self.res.docs[doc_id] = page["body_spans"]
+            docs_written += 1
+            for k, href in enumerate(page["out_links"]):
+                canon = canonicalize(e.url, href)
+                if canon:
+                    links += 1
+                    self._enqueue(canon, e.depth + 1, e.url, batch_id)
+
+        for host in taken_per_host:
+            delay = (
+                self.politeness[host].delay_s
+                if host in self.politeness
+                else self.cfg.default_delay
+            )
+            self.host_next_eligible[host] = batch_id + delay
+
+        m = {
+            "batch_id": batch_id,
+            "urls_scheduled": len(scheduled),
+            "urls_deduped": self._batch_deduped,
+            "docs_written": docs_written,
+            "links_discovered": links,
+            "failed": failed,
+            "frontier_size": len(self.queued),
+        }
+        self.res.metrics.append(m)
+        return m
+
+    def run(self) -> OracleResult:
+        # batch 0: seed injection in seed_order (S1, Crawler.pm:84-105)
+        for s in self.seeds:
+            self._enqueue(s, 0, None, 0)
+        batch_id = 0
+        while self.queued and batch_id < self.cfg.max_batches:
+            batch_id += 1
+            self.run_batch(batch_id)
+        self.res.url_seen = set(self.seen)
+        return self.res
+
+
+def run_oracle(p: GraphParams, cfg: CrawlConfig | None = None) -> OracleResult:
+    cfg = cfg or CrawlConfig()
+    return Oracle(build_graph(p), seeds_of(p), politeness_of(p), cfg).run()

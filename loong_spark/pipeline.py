@@ -1,0 +1,441 @@
+"""Micro-batch crawl pipeline — the Spark rebuild of the reference's
+dequeue→fetch→scrape→enqueue loop (/root/reference/lib/Loong/Crawler.pm:107-209),
+one Structured-Streaming-style incremental batch per iteration
+(Trigger.AvailableNow model: each batch reads + atomically commits
+snapshot tables, so the run is resumable mid-crawl).
+
+Per-batch dataflow (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+
+  read queued ──eligibility(politeness O2)──▶ two-phase per-host top-k (O4)
+     ──global budget (O3)──▶ scheduled(rank) ──▶ crawl_order append
+     ──fetch = broadcast join vs web_graph (S4)──▶
+        ├─ 200+html ─▶ docs append (S5) + posexplode(out_links) (O6)
+        │               ─▶ canonicalize (P1, hybrid JVM/pandas)
+        │               ─▶ robots filter ─▶ within-batch dedup (row_number)
+        │               ─▶ bloom prefilter + exact anti-join vs seen (F1/O5)
+        │               ─▶ priority score (O7) ─▶ new queued entries
+        └─ non-200 ─▶ retry at tail, attempt+1 (O8)
+     ──▶ commit queued/seen/host_state/shards/metrics + checkpoint.json
+
+Determinism: the total order is (priority, depth, seq); seq is assigned as
+``batch_id<<40 | parent_rank<<20 | link_idx`` — a pure JVM expression,
+fully parallel, and order-isomorphic to the oracle's contiguous counter
+(only seq's ORDER ever matters: it is a tie-break key). Every batch's
+output is therefore partition-count-independent and matches
+loong_spark.oracle exactly (tested at local[1] == local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import schemas
+from .bloom import BloomFilterManager
+from .canon import canonicalize_col, host_col, path_col, url_hash_col
+from .config import CrawlConfig, HostPolicy
+from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
+from .store import SnapshotStore
+
+HOST_STATE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("next_eligible", T.LongType(), False),
+        T.StructField("seen_count", T.LongType(), False),
+    ]
+)
+
+_CAND = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("parent", T.StringType(), True),
+        T.StructField("parent_rank", T.IntegerType(), False),
+        T.StructField("link_idx", T.IntegerType(), False),
+        T.StructField("is_retry", T.BooleanType(), False),
+        T.StructField("retry_priority", T.DoubleType(), True),
+        T.StructField("attempt", T.IntegerType(), False),
+    ]
+)
+
+
+class CrawlPipeline:
+    def __init__(self, spark: SparkSession, warehouse: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.store = SnapshotStore(spark, warehouse)
+        self.bloom = BloomFilterManager(spark, self.cfg)
+        self.warehouse = warehouse
+
+    # ------------------------------------------------------------------ util
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.warehouse, "checkpoint.json")
+
+    def _write_checkpoint(self, batch_id: int) -> None:
+        tables = [
+            "queued", "seen", "host_state", "docs",
+            "crawl_order", "metrics", "seen_shards",
+        ]
+        ck = {
+            "batch_id": batch_id,
+            "versions": {t: self.store.current_version(t) for t in tables},
+        }
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._ckpt_path())
+
+    def load_checkpoint(self) -> dict | None:
+        try:
+            with open(self._ckpt_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _seq(self, batch_id: int):
+        """seq = batch<<40 | parent_rank<<20 | link_idx (order-isomorphic
+        to the oracle's contiguous counter; see module docstring)."""
+        return (
+            F.lit(int(batch_id) << 40)
+            + F.shiftleft(F.col("parent_rank").cast("long"), 20)
+            + F.col("link_idx").cast("long")
+        ).cast("long")
+
+    # -------------------------------------------------------------- bootstrap
+    def bootstrap(
+        self,
+        web_graph: DataFrame,
+        politeness: list[HostPolicy] | DataFrame,
+        seeds: list[str],
+    ) -> None:
+        """Seed injection (S1, /root/reference/lib/Loong/Crawler.pm:84-105):
+        batch 0 enqueues the seed list in seed_order through the same
+        robots→dedup→priority path links use."""
+        st = self.store
+        st.commit("web_graph", web_graph)
+        if not isinstance(politeness, DataFrame):
+            politeness = self.spark.createDataFrame(
+                [
+                    (p.host, p.delay_s, p.max_active, p.robots_disallow, p.robots_allow)
+                    for p in politeness
+                ],
+                schemas.POLITENESS,
+            )
+        st.commit("politeness", politeness)
+
+        cand = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_order int"
+        ).select(
+            F.col("url"),
+            url_hash_col(F.col("url")).alias("url_hash"),
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("parent"),
+            F.lit(0).alias("parent_rank"),
+            F.col("seed_order").alias("link_idx"),
+            F.lit(False).alias("is_retry"),
+            F.lit(None).cast("double").alias("retry_priority"),
+            F.lit(0).alias("attempt"),
+        )
+        empty_hs = self.spark.createDataFrame([], HOST_STATE)
+        new_entries, new_seen, stats = self._admit(cand, empty_hs, batch_id=0)
+
+        st.commit("queued", new_entries)
+        st.commit("seen", new_seen)
+        st.commit(
+            "host_state",
+            new_seen.groupBy("host").count().select(
+                "host", F.lit(0).cast("long").alias("next_eligible"),
+                F.col("count").cast("long").alias("seen_count"),
+            ),
+        )
+        st.commit("docs", self.spark.createDataFrame([], schemas.DOCS))
+        st.commit("crawl_order", self.spark.createDataFrame([], schemas.CRAWL_ORDER))
+        st.commit("metrics", self.spark.createDataFrame([], schemas.METRICS))
+        shards0 = self.spark.createDataFrame([], schemas.SEEN_SHARDS)
+        st.commit("seen_shards", self.bloom.updated_shards(shards0, self.bloom.hashed(new_seen), 0))
+        self._write_checkpoint(0)
+
+    # ----------------------------------------------------- admission pipeline
+    def _admit(
+        self, cand: DataFrame, host_state: DataFrame, batch_id: int
+    ) -> tuple[DataFrame, DataFrame, dict]:
+        """Robots → within-batch dedup → bloom+exact seen anti-join →
+        priority → seq. Returns (new queued entries, seen additions, stats).
+        Retries bypass robots/dedup/priority but share seq numbering.
+
+        MATERIALIZES intermediates to the store's _work area (cuts lineage;
+        the counts then come from parquet metadata, not recomputation)."""
+        st = self.store
+        pol = F.broadcast(
+            st.read("politeness", schemas.POLITENESS).select(
+                "host", "robots_disallow", "robots_allow"
+            )
+        )
+
+        links = cand.filter(~F.col("is_retry"))
+        retries = cand.filter(F.col("is_retry"))
+
+        # robots (longest-prefix allow/disallow, checked before seen —
+        # excluded URLs never enter the seen set)
+        links = (
+            links.join(pol, "host", "left")
+            .withColumn("_path", path_col(F.col("url")))
+            .filter(robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")))
+            .drop("robots_disallow", "robots_allow", "_path")
+        )
+
+        # within-batch dedup: first enqueue attempt wins (mirrors the
+        # test-and-set ordering of Filter.pm:9-27 applied sequentially)
+        w_dup = Window.partitionBy("url_hash").orderBy("parent_rank", "link_idx")
+        links = links.withColumn("_rn", F.row_number().over(w_dup)).filter(F.col("_rn") == 1).drop("_rn")
+
+        # seen filter: bloom prefilter + exact anti-join backstop (F1)
+        hashed = self.bloom.hashed(links)
+        if self.cfg.use_bloom:
+            hashed = self.bloom.maybe_seen_col(hashed)
+            fast_unseen = hashed.filter(~F.col("maybe_seen"))
+            maybe = hashed.filter(F.col("maybe_seen"))
+            seen = st.read("seen", schemas.SEEN).select("url_hash")
+            checked = maybe.join(seen, "url_hash", "left_anti")
+            winners = fast_unseen.unionByName(checked).drop("maybe_seen")
+        else:
+            seen = st.read("seen", schemas.SEEN).select("url_hash")
+            winners = hashed.join(seen, "url_hash", "left_anti")
+
+        # priority (O7): prior per-host seen count = base + rank-within-batch
+        hs = F.broadcast(host_state.select("host", "seen_count"))
+        w_host = Window.partitionBy("host").orderBy("parent_rank", "link_idx")
+        winners = (
+            winners.join(hs, "host", "left")
+            .withColumn(
+                "_prior",
+                F.coalesce(F.col("seen_count"), F.lit(0)) + F.row_number().over(w_host) - 1,
+            )
+            .withColumn("priority", priority_col(F.col("depth"), F.col("_prior"), self.cfg))
+            .drop("seen_count", "_prior", "_bh1", "_bh2", "shard_id")
+        )
+
+        new_entries = winners.unionByName(
+            retries.withColumn("priority", F.col("retry_priority"))
+        ).select(
+            "url", "url_hash", "host", "depth", "priority",
+            self._seq(batch_id).alias("seq"),
+            "parent",
+            F.lit("queued").alias("state"),
+            "attempt",
+            F.lit(batch_id).cast("long").alias("enqueued_batch"),
+        )
+
+        st.commit("_work_new_entries", new_entries)
+        new_entries = st.read("_work_new_entries")
+        new_seen = new_entries.filter(F.col("attempt") == 0).select(
+            "url_hash", "host", F.lit(batch_id).cast("long").alias("seen_batch")
+        )
+        n_new = new_entries.filter(F.col("attempt") == 0).count()
+        return new_entries, new_seen, {"n_new": n_new}
+
+    # ------------------------------------------------------------- one batch
+    def run_batch(self, batch_id: int) -> dict:
+        st, cfg = self.store, self.cfg
+        queued = st.read("queued", schemas.FRONTIER)
+        host_state = st.read("host_state", HOST_STATE)
+        politeness = st.read("politeness", schemas.POLITENESS)
+
+        # -- schedule (O1-O4) --------------------------------------------
+        elig = eligible(queued, host_state, batch_id)
+        sched = schedule(elig, politeness, cfg)
+        st.commit("_work_scheduled", sched)
+        sched = st.read("_work_scheduled")
+        n_sched = sched.count()
+
+        st.append(
+            "crawl_order",
+            sched.select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col("rank").cast("int").alias("within_batch_rank"),
+                "url",
+            ),
+            schemas.CRAWL_ORDER,
+        )
+
+        if n_sched == 0:
+            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, queued_df=queued)
+            self._write_checkpoint(batch_id)
+            return m
+
+        # -- fetch (S4): broadcast the small scheduled side into the scan
+        graph = st.read("web_graph", schemas.WEB_GRAPH)
+        fetched = F.broadcast(sched).join(
+            graph.select("url", "status", "content_type", "body_spans", "out_links"),
+            "url",
+            "left",
+        )
+        st.commit("_work_fetched", fetched)
+        fetched = st.read("_work_fetched")
+
+        ok = fetched.filter(F.col("status") == 200)
+        html = ok.filter(F.col("content_type") == "text/html")  # F2 gate
+        failed = fetched.filter(F.col("status").isNull() | (F.col("status") != 200))
+
+        # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1)
+        docs_new = html.select(
+            F.col("url_hash").alias("doc_id"),
+            F.col("body_spans").alias("spans"),
+            "url", "host", "parent",
+            F.lit(batch_id).cast("long").alias("fetched_batch"),
+        )
+        st.append("docs", docs_new, schemas.DOCS)
+        n_docs = docs_new.count()
+
+        # -- links (O6): explode + canonicalize (P1) ----------------------
+        links = (
+            html.select(
+                F.col("url").alias("parent"),
+                F.col("rank").alias("parent_rank"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("out_links").alias("link_idx", "href"),
+            )
+            .withColumn("url", canonicalize_col(F.col("parent"), F.col("href")))
+            .filter(F.col("url") != "")
+            .select(
+                "url",
+                url_hash_col(F.col("url")).alias("url_hash"),
+                host_col(F.col("url")).alias("host"),
+                F.col("depth").cast("int"),
+                "parent",
+                F.col("parent_rank").cast("int"),
+                F.col("link_idx").cast("int"),
+                F.lit(False).alias("is_retry"),
+                F.lit(None).cast("double").alias("retry_priority"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        st.commit("_work_links", links)
+        links = st.read("_work_links")
+        n_links = links.count()
+
+        # -- retries (O8) --------------------------------------------------
+        retries = failed.filter(F.col("attempt") + 1 < cfg.max_attempts).select(
+            "url", "url_hash", "host", F.col("depth").cast("int"), "parent",
+            F.col("rank").cast("int").alias("parent_rank"),
+            F.lit(0).cast("int").alias("link_idx"),
+            F.lit(True).alias("is_retry"),
+            F.col("priority").alias("retry_priority"),
+            (F.col("attempt") + 1).cast("int").alias("attempt"),
+        )
+        n_failed = failed.count()
+
+        # -- admit new frontier entries ------------------------------------
+        cand = links.unionByName(retries)
+        new_entries, new_seen, stats = self._admit(cand, host_state, batch_id)
+        n_deduped = n_links - stats["n_new"] - self._robots_dropped_count(links)
+
+        # -- state updates ---------------------------------------------------
+        queued_next = queued.join(
+            F.broadcast(sched.select("seq")), "seq", "left_anti"
+        ).unionByName(new_entries)
+        st.commit("queued", queued_next)
+        st.append("seen", new_seen, schemas.SEEN)
+
+        # host_state: politeness clocks + seen counts
+        sched_hosts = (
+            sched.select("host").distinct()
+            .join(F.broadcast(politeness.select("host", "delay_s")), "host", "left")
+            .select(
+                "host",
+                (F.lit(batch_id) + F.coalesce(F.col("delay_s"), F.lit(cfg.default_delay)))
+                .cast("long").alias("_ne_new"),
+            )
+        )
+        win_counts = new_seen.groupBy("host").count().select(
+            "host", F.col("count").cast("long").alias("_added")
+        )
+        hs_next = (
+            host_state.join(sched_hosts, "host", "full")
+            .join(win_counts, "host", "full")
+            .select(
+                "host",
+                F.coalesce(F.col("_ne_new"), F.col("next_eligible"), F.lit(0)).alias("next_eligible"),
+                (F.coalesce(F.col("seen_count"), F.lit(0)) + F.coalesce(F.col("_added"), F.lit(0)))
+                .alias("seen_count"),
+            )
+        )
+        st.commit("host_state", hs_next)
+
+        # bloom shards: merge this batch's new hashes
+        shards = st.read("seen_shards", schemas.SEEN_SHARDS)
+        st.commit(
+            "seen_shards",
+            self.bloom.updated_shards(shards, self.bloom.hashed(new_seen), batch_id),
+        )
+
+        m = self._metrics_row(batch_id, n_sched, n_deduped, n_docs, n_links, n_failed)
+        self._write_checkpoint(batch_id)
+        for t in ("queued", "seen", "host_state", "seen_shards", "docs", "crawl_order", "metrics"):
+            st.vacuum(t, keep=3)
+        return m
+
+    def _robots_dropped_count(self, links: DataFrame) -> int:
+        """Links dropped by robots (not counted as deduped — oracle parity)."""
+        pol = F.broadcast(
+            self.store.read("politeness", schemas.POLITENESS).select(
+                "host", "robots_disallow", "robots_allow"
+            )
+        )
+        return (
+            links.join(pol, "host", "left")
+            .withColumn("_path", path_col(F.col("url")))
+            .filter(~robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")))
+            .count()
+        )
+
+    def _metrics_row(
+        self, batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, queued_df=None
+    ) -> dict:
+        qn = (queued_df if queued_df is not None else self.store.read("queued")).count()
+        m = {
+            "batch_id": batch_id,
+            "urls_scheduled": n_sched,
+            "urls_deduped": n_deduped,
+            "docs_written": n_docs,
+            "links_discovered": n_links,
+            "failed": n_failed,
+            "frontier_size": qn,
+        }
+        self.store.append(
+            "metrics",
+            self.spark.createDataFrame(
+                [tuple(m[f.name] for f in schemas.METRICS.fields)], schemas.METRICS
+            ),
+            schemas.METRICS,
+        )
+        return m
+
+    # ------------------------------------------------------------------ run
+    def run(self, max_batches: int | None = None) -> list[dict]:
+        """Drive batches until the frontier drains (or max_batches).
+        Resumes from the last committed checkpoint automatically."""
+        ck = self.load_checkpoint()
+        if ck is None:
+            raise RuntimeError("bootstrap() first")
+        for t, v in ck["versions"].items():
+            if v >= 0 and self.store.current_version(t) != v:
+                self.store.rollback(t, v)  # undo any partially-committed batch
+        batch_id = ck["batch_id"]
+        cap = max_batches if max_batches is not None else self.cfg.max_batches
+        out = []
+        while batch_id < cap:
+            if self.store.read("queued", schemas.FRONTIER).isEmpty():
+                break
+            if self.cfg.use_bloom:
+                self.bloom.load_broadcast(self.store.read("seen_shards", schemas.SEEN_SHARDS))
+            batch_id += 1
+            out.append(self.run_batch(batch_id))
+        return out
