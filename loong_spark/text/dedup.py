@@ -1,0 +1,180 @@
+"""Document deduplication at training-data scale.
+
+Four strategies, strongest-guarantee to cheapest:
+
+* exact        — md5(normalized text) groupBy; one shuffle, map-side combine
+* n-gram Jaccard — exact pairwise similarity via shingle self-join
+                   (quadratic within shingle buckets; the exactness oracle)
+* MinHash+LSH  — shingle → signature → band buckets → candidate pairs;
+                 near-linear, recall tunable by (bands, rows)
+* SimHash      — 16-bit sign-sum fingerprint; hamming-0 bucket match
+
+Everything is deterministic and built-ins-only (md5 / min / explode /
+joins stay JVM-side), so each op has an exact DuckDB oracle in
+__spark_entry__. The MinHash family is ``min over shingles of
+md5(i || ':' || shingle)`` — lexicographic min of md5 hex strings is a
+valid minwise family and is reproducible in ANY engine with md5.
+
+Scale notes (100 TB): the shingle explode is the big intermediate —
+``spark.sql.files.maxPartitionBytes`` bounds input splits, the groupBy
+aggregates map-side (partial min per signature slot), and LSH band
+buckets shuffle only (band_id, band_sig, doc_id) — bytes per doc ≈
+bands × 40. Exact-pair verification joins only within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col):
+    """Lower + collapse whitespace — the canonical text for hashing."""
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (content_hash,
+    group_size, keeper_id, member_ids). Keeper = min id (deterministic)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), normalized_text(F.col(text_col)).alias("_t"))
+        .withColumn("content_hash", F.md5("_t"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keeper_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Built-ins only: split → transform over a sliding index range."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT near-dup pairs by n-gram Jaccard ≥ threshold.
+    |A∩B| via shingle self-join; |A∪B| = |A|+|B|−|A∩B|.
+    Quadratic in bucket size — the correctness oracle for MinHash-LSH;
+    at scale run it only on LSH candidate buckets."""
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, sig: array<string>[num_hashes]) — slot i =
+    min(md5(i || ':' || shingle)). Partial min aggregates map-side."""
+    sh = shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 32, bands: int = 8,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding; optionally verified with
+    exact Jaccard (candidates → exact check keeps precision = 1.0).
+    rows_per_band = num_hashes // bands; a pair collides in a band iff
+    that band's signature slice matches exactly."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws("|", F.slice("sig", b * r + 1, r)).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, verify_threshold)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_col(text_col, bits: int = 16):
+    """SimHash fingerprint as an integer column, built-ins only:
+    per token, md5 → take `bits` hex-derived bits; fingerprint bit b is
+    the sign of Σ_tokens (±1). Deterministic and oracle-reproducible."""
+    tokens = F.array_distinct(F.split(normalized_text(text_col), " "))
+    # per token: integer whose low `bits` bits come from md5 hex
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+
+    def term_for(b: int):
+        return F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(tok_hash(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    terms = [term_for(b).alias(f"bit{b}") for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, term in enumerate(terms):
+        out = out + F.when(term > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash bucket (hamming-0 match;
+    multi-probe/hamming-k is a bucket-rotation extension)."""
+    s = docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("group_size"), F.sort_array(F.collect_list("doc_id")).alias("member_ids"))
+        .filter(F.col("group_size") > 1)
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: cross join
+  (broadcast query side) + JVM-side dot product via zip_with/aggregate.
+* LSH-bucketed ANN (random signed hyperplanes) — the scale path: each
+  vector maps to a sign-bit bucket; search joins only same-bucket pairs.
+  Hyperplanes derive deterministically from md5(seed, plane, dim) so
+  results are reproducible without storing the planes.
+* embedding-cosine near-dup — pairs with cosine ≥ threshold.
+
+Everything JVM-side (F.zip_with, F.aggregate, higher-order functions);
+no Python in the hot path. For very wide vectors a pandas UDF with
+numpy.dot beats aggregate() — provided as `cosine_pandas` and used when
+dim ≥ 256 (Arrow-batched, still no per-row Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+@pandas_udf(T.DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched numpy cosine for wide vectors (dim ≥ ~256)."""
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    return pd.Series(np.where(den == 0, 0.0, num / den))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query. Query side broadcasts (small);
+    the corpus scan is one pass, no shuffle until the per-query top-k
+    (window over ≤ |corpus| rows per query — two-phase via partial
+    TakeOrdered under AQE)."""
+    q = F.broadcast(
+        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv"))
+    )
+    joined = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).crossJoin(q)
+    cos = (
+        cosine_pandas(F.col("_v"), F.col("_qv"))
+        if use_pandas
+        else cosine_col(F.col("_v").cast("array<double>"), F.col("_qv").cast("array<double>"))
+    )
+    scored = joined.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rk").alias("rank"))
+    )
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — reproducible anywhere."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit bucket id: bit p = (vec · hyperplane_p) >= 0. JVM-side:
+    the hyperplanes are literal arrays folded into the plan."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(seed, p, dim)])
+        bit = F.when(dot_col(vec.cast("array<double>"), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank within the bucket. At 100 TB the bucket join is
+    a co-partitioned equi-join on bucket id (≈ corpus/2^n_planes rows per
+    bucket) instead of a full cross join."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("_qv"),
+            lsh_bucket_col(F.col(qvec_col), dim, n_planes, seed).alias("bucket"),
+        )
+    )
+    joined = v.join(q, "bucket")
+    scored = joined.select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("_v").cast("array<double>"), F.col("_qv").cast("array<double>")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rk").alias("rank"))
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, n_planes: int = 6, seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold). exact=True →
+    full self-join (oracle-checkable); exact=False → LSH-bucketed."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    if not exact:
+        assert dim is not None
+        v = v.withColumn("bucket", lsh_bucket_col(F.col("_v"), dim, n_planes, seed))
+        a = v.alias("a")
+        b = v.alias("b")
+        pairs = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_col(F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,55 @@
+"""End-to-end: Spark micro-batch pipeline == pure-Python oracle, exactly.
+
+Asserts (FIXTURES.md §6): total crawl order, final URL-seen set, per-row
+span-sequence equality (kind, text, media_ref, order), and per-batch
+metrics — the BASELINE.json correctness gate.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loong_spark import schemas
+from loong_spark.compare import assert_matches_oracle
+from loong_spark.config import CrawlConfig
+from loong_spark.gen import TINY, GraphParams, graph_rows_for_spark, politeness_of, seeds_of
+from loong_spark.oracle import run_oracle
+from loong_spark.pipeline import CrawlPipeline
+
+
+def make_pipeline(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> CrawlPipeline:
+    pipe = CrawlPipeline(spark, warehouse, cfg)
+    graph_df = spark.createDataFrame(
+        [
+            (
+                r["url"], r["url_hash"], r["host"], r["status"],
+                r["content_type"],
+                [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["body_spans"]],
+                r["out_links"],
+            )
+            for r in graph_rows_for_spark(params)
+        ],
+        schemas.WEB_GRAPH,
+    )
+    pipe.bootstrap(graph_df, list(politeness_of(params).values()), seeds_of(params))
+    return pipe
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_tiny_full_crawl_matches_oracle(spark, warehouse, use_bloom):
+    cfg = CrawlConfig(global_budget=20, use_bloom=use_bloom, n_shards=4)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline(spark, warehouse + str(use_bloom), TINY, cfg)
+    metrics = pipe.run()
+    assert len(metrics) == len(golden.metrics)
+    assert_matches_oracle(pipe, golden)
+
+
+def test_small_prefix_matches_oracle(spark, warehouse):
+    """First batches of a bigger, skewed graph (robots + retries + dedup
+    pressure all active)."""
+    params = GraphParams(n_hosts=20, n_pages=600, n_seeds=5, zipf_s=1.4)
+    cfg = CrawlConfig(global_budget=64, max_batches=6, use_bloom=True, n_shards=8)
+    golden = run_oracle(params, cfg)
+    pipe = make_pipeline(spark, warehouse, params, cfg)
+    pipe.run(max_batches=6)
+    assert_matches_oracle(pipe, golden, batches=6)

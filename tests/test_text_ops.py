@@ -1,0 +1,158 @@
+"""Training-data ops: dedup / similarity / quality / multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from loong_spark.text.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from loong_spark.text.multimodal import (
+    extract_image_features,
+    media_table_from_docs,
+    sample_video_frames,
+)
+from loong_spark.text.quality import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from loong_spark.text.similarity import ann_topk, brute_force_topk, cosine_near_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (4, "der hund und die katze ist ein tier"),                  # German
+        (5, "completely unrelated text about spark engines and data"),
+        (6, "  THE  Quick   Brown fox JUMPS over the lazy dog "),    # normalized dup of 1
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["member_ids"] == [1, 2, 6] and g["keeper_id"] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 6)] == 1.0 and pairs[(2, 6)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, num_hashes=32, bands=16, verify_threshold=0.5).collect()}
+    assert {(1, 2), (1, 6), (2, 6), (1, 3)} <= got
+    # verified pairs are a subset of exact-jaccard pairs (precision 1.0)
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert got <= exact
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=8).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=8).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical docs → identical signatures
+
+
+def test_simhash_buckets(docs):
+    groups = simhash_duplicates(docs).collect()
+    by_members = [tuple(g["member_ids"]) for g in groups]
+    assert any({1, 2, 6} <= set(m) for m in by_members)
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a house of wool and is happy"),
+            (2, "der hund und die katze ist ein"),
+            (3, "le chat et la vache est un animal des bois"),
+            (4, "!!! ??? ***"),
+            (5, ""),
+        ],
+        "id int, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        lang_id_col(F.col("text")).alias("lang"),
+        token_count_col(F.col("text")).alias("n_tok"),
+        quality_score_col(F.col("text")).alias("q"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()}
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de" and rows[3]["lang"] == "fr"
+    assert rows[4]["lang"] == "und"
+    assert rows[1]["n_tok"] == 13 and rows[5]["n_tok"] == 0
+    assert rows[1]["q"] > rows[4]["q"]
+    assert len(rows[1]["fp"]) == 32
+
+
+def test_brute_force_topk(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(10, [1.0, 0.1, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    qs = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], "query_id int, embedding array<float>")
+    got = brute_force_topk(vecs, qs, k=2).collect()
+    assert [r["vec_id"] for r in got] == [0, 10]
+    assert got[0]["cosine"] == 1.0 and got[0]["rank"] == 1
+
+
+def test_ann_topk_contains_exact_hit(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id int, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [rnd.uniform(-1, 1) for _ in range(8)])], "query_id int, embedding array<float>"
+    )
+    exact = brute_force_topk(vecs, q, k=1).collect()[0]
+    approx = ann_topk(vecs, q, dim=8, k=5, n_planes=4).collect()
+    # the ANN result must be exact among its bucket and well-formed
+    assert all(a["cosine"] <= exact["cosine"] + 1e-9 for a in approx)
+    assert [a["rank"] for a in approx] == sorted(a["rank"] for a in approx)
+
+
+def test_cosine_near_dup(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = cosine_near_dup_pairs(vecs, threshold=0.99).collect()
+    assert len(pairs) == 1 and (pairs[0]["vec_a"], pairs[0]["vec_b"]) == (1, 2)
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(str(i), f"media://h{i}/x.jpg", "image", bytes([i]) * (1024 * (i + 1))) for i in range(5)],
+        "media_id string, media_ref string, kind string, bytes binary",
+    )
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 5
+    f0 = next(f for f in feats if f["media_id"] == "0")
+    assert 64 <= f0["width"] < 256 and len(f0["feature"]) == 8
+    # determinism
+    again = next(f for f in extract_image_features(media).collect() if f["media_id"] == "0")
+    assert again["phash"] == f0["phash"]
+
+    frames = sample_video_frames(media, every_n=1).groupBy("media_id").count().collect()
+    assert {r["media_id"]: r["count"] for r in frames}["4"] == 5
