@@ -97,7 +97,7 @@ def test_quality_and_lang(spark):
     ).collect()}
     assert rows[1]["lang"] == "en" and rows[2]["lang"] == "de" and rows[3]["lang"] == "fr"
     assert rows[4]["lang"] == "und"
-    assert rows[1]["n_tok"] == 13 and rows[5]["n_tok"] == 0
+    assert rows[1]["n_tok"] == 14 and rows[5]["n_tok"] == 0
     assert rows[1]["q"] > rows[4]["q"]
     assert len(rows[1]["fp"]) == 32
 
