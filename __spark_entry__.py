@@ -36,6 +36,12 @@ from loong_spark.text.quality import (
     rolling_fingerprints_col,
     token_count_col,
 )
+from loong_spark.text.multimodal import (
+    extract_image_features,
+    media_table_from_documents,
+    resize_images,
+    sample_video_frames,
+)
 from loong_spark.text.similarity import ann_topk, brute_force_topk, cosine_near_dup_pairs
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -361,6 +367,33 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, dim=64, k=5, n_planes=6)
 
 
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → Arrow-batched
+    mapInPandas feature extraction (decode kernel is a deterministic
+    stub — see loong_spark.text.multimodal — so the whole path is
+    oracle-checkable; the float feature array is pytest-covered)."""
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_image_features(media_table_from_documents(d))
+    return feats.select("media_id", "width", "height", "n_bytes", "phash")
+
+
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 video row → N frame rows via mapInPandas (ffmpeg stubbed;
+    frame count is deterministic in blob size)."""
+    d = _t(spark, sf_dir, "documents")
+    media = media_table_from_documents(d, repeat_n=2048)
+    frames = sample_video_frames(media, every_n=30)
+    return frames.select("media_id", "frame_idx")
+
+
+def q_mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (zlib stub → not SQL-expressible; rows-only check,
+    determinism is pytest-covered)."""
+    d = _t(spark, sf_dir, "documents")
+    resized = resize_images(media_table_from_documents(d), target=224)
+    return resized.select("media_id", F.length("bytes").alias("n_bytes_out"))
+
+
 # ============================================================ contract surface
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the frontier scheduling kernel at sf0.001."""
@@ -397,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
+        "mm_image_features": q_mm_image_features,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_resize_meta": q_mm_resize_meta,
     }
 
 
@@ -704,7 +740,28 @@ def oracle_sql() -> dict[str, str]:
               JOIN norms nb ON nb.vec_id = b.vec_id
             )
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9""",
-        # approx_distinct, emb_ann_topk: intentionally no oracle (sketch /
-        # approximate ops differ by construction; pytest covers bounds).
+        "mm_image_features": """
+            WITH media AS (
+              SELECT md5('img://' || source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+                     repeat('img://' || source || '/' || CAST(doc_id AS VARCHAR), 32) AS blob
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id,
+                   64 + (('0x' || substr(md5(blob), 1, 2))::INT % 192) AS width,
+                   64 + (('0x' || substr(md5(blob), 3, 2))::INT % 192) AS height,
+                   CAST(len(blob) AS BIGINT) AS n_bytes,
+                   substr(md5(blob), 1, 16) AS phash
+            FROM media""",
+        "mm_video_frames": """
+            WITH media AS (
+              SELECT md5('img://' || source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+                     len(repeat('img://' || source || '/' || CAST(doc_id AS VARCHAR), 2048)) AS nb
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id, CAST(f - 1 AS INT) AS frame_idx
+            FROM media, unnest(generate_series(1, greatest(nb // (30*1024), 1))) AS t(f)""",
+        # approx_distinct, emb_ann_topk, mm_resize_meta: intentionally no
+        # oracle (sketch / approximate / non-SQL stub ops; pytest covers
+        # bounds and determinism).
     }
     return sql

@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from loong_spark.config import CrawlConfig
-from loong_spark.frontier import ORDER_COLS, quantize_priority
+from loong_spark.frontier import quantize_priority, schedule
 from loong_spark.session import get_spark
 
 
@@ -58,46 +58,91 @@ def gen_bench_frontier(spark: SparkSession, n_urls: int, n_hosts: int = 1000):
     )
 
 
-def bench_frontier(spark: SparkSession, n_urls: int) -> dict:
-    """One full scheduling + dedup cycle over n_urls queued + n_urls/2
-    candidate links; returns seconds + urls/sec."""
-    cfg = CrawlConfig(global_budget=200_000, default_max_active=512, n_salts=8)
-    frontier = gen_bench_frontier(spark, n_urls)
-    frontier.write.mode("overwrite").parquet("/tmp/loong_bench/frontier")
-    frontier = spark.read.parquet("/tmp/loong_bench/frontier")
-
-    cand = gen_bench_frontier(spark, n_urls // 2).withColumn(
-        "url_hash", F.md5(F.concat(F.col("url"), F.lit("?v=2")))
+def gen_bench_links(spark: SparkSession, n_links: int, n_hosts: int = 1000):
+    """Raw (seq, parent, href) link discoveries: absolute hrefs with
+    fragments and junk schemes mixed in, ~20% duplicated hrefs — the shape
+    the parse stage emits before canonicalization."""
+    c = spark.range(n_links)
+    host_id = F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_hosts))
+    # 20% of rows re-point at another row's target → within-batch dups
+    tgt = F.when(F.pmod(F.col("id"), 5) == 0, F.col("id") - F.pmod(F.col("id"), 50)).otherwise(F.col("id"))
+    href = F.concat(
+        F.lit("http://h"), F.pmod(F.xxhash64(tgt + 7), F.lit(n_hosts)).cast("string"),
+        F.lit(".example/q/"), tgt.cast("string"),
+        F.when(F.pmod(F.col("id"), 7) == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    cand.write.mode("overwrite").parquet("/tmp/loong_bench/cand")
-    cand = spark.read.parquet("/tmp/loong_bench/cand")
-    # seen set ≈ 30% of candidates → dedup pressure
-    seen = cand.filter(F.pmod(F.xxhash64("url_hash"), F.lit(10)) < 3).select("url_hash")
-    seen.write.mode("overwrite").parquet("/tmp/loong_bench/seen")
-    seen = spark.read.parquet("/tmp/loong_bench/seen")
+    href = F.when(F.pmod(F.col("id"), 41) == 0, F.lit("mailto:x@y.z")).otherwise(href)
+    return c.select(
+        F.col("id").alias("seq"),
+        F.concat(F.lit("http://h"), host_id.cast("string"), F.lit(".example/p/"),
+                 F.col("id").cast("string")).alias("parent"),
+        href.alias("href"),
+    )
+
+
+def prepare_input(spark: SparkSession, base_dir: str, n_urls: int) -> None:
+    """Materialize the cycle's input tables once so every measured run
+    (and every parallelism level) reads identical bytes."""
+    frontier = gen_bench_frontier(spark, n_urls)
+    frontier.write.mode("overwrite").parquet(f"{base_dir}/frontier")
+
+    links = gen_bench_links(spark, n_urls // 2)
+    links.write.mode("overwrite").parquet(f"{base_dir}/links")
+    # seen set ≈ 30% of canonical link hashes → dedup pressure
+    canon = F.regexp_replace(F.col("href"), "#.*$", "")
+    seen = (
+        links.filter(~F.col("href").startswith("mailto:"))
+        .select(F.md5(F.encode(canon, "utf-8")).alias("url_hash"))
+        .filter(F.pmod(F.xxhash64("url_hash"), F.lit(10)) < 3)
+        .distinct()
+    )
+    seen.write.mode("overwrite").parquet(f"{base_dir}/seen")
+
+
+def run_cycle(spark: SparkSession, base_dir: str, n_urls: int) -> dict:
+    """One full scheduling + admission cycle over the pre-materialized
+    input at base_dir: schedule n_urls queued rows, then take n_urls/2 raw
+    link discoveries through canonicalize → host → hash → within-batch
+    dedup → seen anti-join (the engine's real admission path, all JVM
+    built-ins). This is the BASELINE.json metric job."""
+    from loong_spark.canon import canonicalize_df, host_col, url_hash_col
+
+    cfg = CrawlConfig(global_budget=200_000, default_max_active=512, n_salts=8)
+    frontier = spark.read.parquet(f"{base_dir}/frontier")
+    links = spark.read.parquet(f"{base_dir}/links")
+    seen = spark.read.parquet(f"{base_dir}/seen")
+
+    politeness = spark.createDataFrame([], "host string, max_active int")
 
     t0 = time.time()
-    # schedule: two-phase per-host top-k + global budget (frontier.schedule
-    # inlined with a constant cap — no politeness table at bench scale)
-    salt = F.pmod(F.xxhash64("url_hash"), F.lit(cfg.n_salts))
-    w1 = Window.partitionBy("host", salt).orderBy(*ORDER_COLS)
-    w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
-    sched = (
-        frontier.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= cfg.default_max_active)
-        .withColumn("rn2", F.row_number().over(w2))
-        .filter(F.col("rn2") <= cfg.default_max_active)
-        .orderBy(*ORDER_COLS)
-        .limit(cfg.global_budget)
-    )
+    # schedule: the engine's real operator (two-phase per-host top-k on
+    # narrow keys + bounded global top-k + rank join-back)
+    sched = schedule(frontier, politeness, cfg)
     n_sched = sched.count()
     t_sched = time.time() - t0
 
     t1 = time.time()
-    w_dup = Window.partitionBy("url_hash").orderBy("seq")
+    cand = (
+        canonicalize_df(links, base_col="parent", href_col="href", out_col="url")
+        .filter(F.col("url") != "")
+        .select(
+            "seq", "url",
+            # 16-byte binary digest through the shuffle (hex doubles it);
+            # host is derivable from the winning url, so it doesn't shuffle
+            F.unhex(url_hash_col(F.col("url"))).alias("hb"),
+        )
+    )
+    # first-wins dedup as a hash aggregation (min over a struct whose
+    # leading field is the order key): partial map-side combine, no sort —
+    # beats the row_number() window by >2x at 5M rows
     admitted = (
-        cand.withColumn("rn", F.row_number().over(w_dup)).filter(F.col("rn") == 1)
-        .join(seen, "url_hash", "left_anti")
+        cand.groupBy("hb")
+        .agg(F.min(F.struct("seq", "url")).alias("_w"))
+        .select("hb", "_w.*")
+        # shuffle-hash, not broadcast: at 10^10 the seen side never fits a
+        # broadcast, and the driver-side broadcast build is serial time
+        .join(seen.select(F.unhex("url_hash").alias("hb")).hint("shuffle_hash"), "hb", "left_anti")
+        .withColumn("host", host_col(F.col("url")))
     )
     n_admitted = admitted.count()
     t_dedup = time.time() - t1
@@ -125,7 +170,8 @@ def main():
     queries = {}
     t_all0 = time.time()
 
-    fb = bench_frontier(spark, n_urls)
+    prepare_input(spark, "/tmp/loong_bench", n_urls)
+    fb = run_cycle(spark, "/tmp/loong_bench", n_urls)
     queries["frontier_schedule"] = fb["sec_schedule"]
     queries["frontier_dedup"] = fb["sec_dedup"]
 

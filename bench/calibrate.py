@@ -1,0 +1,65 @@
+"""Hardware scaling calibration for BENCH.md: how much speedup this box
+can physically deliver from N to 4N processes, for (a) pure CPU and
+(b) memory-bandwidth-bound work. The frontier cycle sits between the two
+(shuffle = memcpy through tmpfs; hashing/regex = CPU), so these bracket
+the best efficiency ANY Spark job can evidence here — a real 4N-executor
+cluster adds 4x memory bandwidth and is NOT subject to bracket (b).
+
+Prints one JSON line. CPU-pinned like the scaling harness.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+import numpy as np
+
+
+def burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def memcpy_mb(mb: int) -> int:
+    a = np.ones(mb * 131072, dtype=np.int64)  # mb MiB
+    t = 0
+    for _ in range(8):
+        b = a.copy()
+        t += int(b[0])
+    return t
+
+
+def run(kind, workers: int, chunks: int, arg) -> float:
+    os.sched_setaffinity(0, range(workers))
+    t0 = time.time()
+    with mp.Pool(workers) as p:
+        p.map(kind, [arg] * chunks)
+    dt = time.time() - t0
+    os.sched_setaffinity(0, range(os.cpu_count()))
+    return dt
+
+
+def main() -> None:
+    levels = (2, 8)
+    out = {"levels": levels}
+    for name, fn, arg in (("cpu", burn, 12_000_000), ("membw", memcpy_mb, 256)):
+        times = {}
+        for w in levels:
+            runs = [run(fn, w, 16, arg) for _ in range(3)]
+            times[w] = min(runs)
+        speedup = times[levels[0]] / times[levels[1]]
+        out[name] = {
+            "sec": {str(k): round(v, 2) for k, v in times.items()},
+            "speedup": round(speedup, 2),
+            "efficiency": round(speedup / (levels[1] / levels[0]), 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

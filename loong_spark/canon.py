@@ -34,7 +34,44 @@ def resolve_href_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def _strip_fragment(col: Column) -> Column:
-    return F.regexp_replace(col, "#.*$", "")
+    # everything before the first '#' — substring_index is regex-free and
+    # exactly equivalent to regexp_replace(col, "#.*$", "")
+    return F.substring_index(col, "#", 1)
+
+
+def _jvm_parts(base: Column, href: Column) -> tuple[Column, Column, Column]:
+    """(stripped href, jvm_handled predicate, jvm result). Shared by the
+    column and DataFrame canonicalizers."""
+    h = _strip_fragment(F.trim(href))
+    # Predicate battery ordered cheap→expensive: codegen emits
+    # short-circuit && / ||, so the typical absolute-href row costs a few
+    # substring tests + ONE regex. The substring forms of the dot-segment
+    # and double-slash tests are supersets of the old regexes where they
+    # differ — narrowing clean_abs is always safe because the pandas
+    # resolver (slow path) is authoritative for anything not fast-pathed.
+    scheme_gate = h.startswith("http://") | h.startswith("https://")
+    dirty_dots = (
+        h.contains("/./") | h.contains("/../") | h.endswith("/.") | h.endswith("/..")
+    )
+    dup_slash = F.locate("//", h, 9) > 0  # any // after the scheme's own
+    clean_abs = (
+        scheme_gate
+        & ~dirty_dots
+        & ~dup_slash
+        & h.rlike("^https?://[a-z0-9.-]+/")  # lowercase scheme+host, has a path
+    )
+    low8 = F.lower(F.substring(h, 1, 8))
+    is_abs = (low8 == "https://") | (F.substring(low8, 1, 7) == "http://")
+    is_junk = (
+        ~h.startswith("//") & ~is_abs & h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    )
+    jvm_handled = (h == "") | clean_abs | is_junk
+    jvm_result = (
+        F.when(h == "", _strip_fragment(base))
+        .when(clean_abs, h)
+        .otherwise(F.lit(""))  # is_junk
+    )
+    return h, jvm_handled, jvm_result
 
 
 def canonicalize_col(base: Column, href: Column) -> Column:
@@ -45,36 +82,68 @@ def canonicalize_col(base: Column, href: Column) -> Column:
     * junk schemes (javascript:, mailto:, ...): JVM → ''
     * everything else (relative, dot segments, scheme-relative): pandas UDF
 
-    At web scale most links are absolute or junk, so the Python slice of
-    the column is small; Catalyst only evaluates the UDF branch for rows
-    matching the `otherwise` (when/otherwise short-circuits per row).
+    CAVEAT (hot paths): Catalyst's ExtractPythonUDFs pulls the UDF out of
+    the when/otherwise and evaluates it for EVERY row, so this column form
+    pays Arrow transfer for 100%% of links. Use :func:`canonicalize_df`
+    in volume paths — it filters first so only the resolver slice reaches
+    Python. This form is for small/one-off frames.
     """
-    h = _strip_fragment(F.trim(href))
-    is_abs = h.rlike("^(?i)https?://")
-    clean_abs = (
-        h.rlike("^https?://[a-z0-9.-]+/")  # lowercase scheme+host, has a path
-        & ~h.rlike("/\\.\\.?(/|$)")        # no . / .. segments
-        & ~h.rlike("[^:/]//")              # no duplicate slashes in the path
+    h, jvm_handled, jvm_result = _jvm_parts(base, href)
+    return F.when(jvm_handled, jvm_result).otherwise(resolve_href_udf(base, h))
+
+
+def canonicalize_df(
+    df, base_col: str, href_col: str, out_col: str = "url"
+):
+    """DataFrame-level canonicalization keeping Python strictly off the
+    fast path: rows the JVM rules fully handle (at web scale, the vast
+    majority — absolute hrefs, junk schemes, empties) never leave the JVM;
+    only relative/dot-segment/scheme-relative hrefs go through the
+    Arrow-batched resolver. Same semantics as :func:`canonicalize_col`
+    (property-tested in tests/test_canon.py); row order is not preserved
+    (union) — downstream ordering comes from explicit sort keys."""
+    base, href = F.col(base_col), F.col(href_col)
+    h, jvm_handled, _ = _jvm_parts(base, href)
+    # within the handled set, scheme-prefixed ⟺ clean_abs, so the fast
+    # projection needs zero regexes (the regex battery runs once, in the
+    # filter): empty → base, clean_abs → passthrough, junk → ''
+    scheme_gate = h.startswith("http://") | h.startswith("https://")
+    fast_result = (
+        F.when(h == "", _strip_fragment(base)).when(scheme_gate, h).otherwise(F.lit(""))
     )
-    is_junk = h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") & ~is_abs & ~h.startswith("//")
+    fast = df.filter(jvm_handled).withColumn(out_col, fast_result)
+    slow = df.filter(~jvm_handled).withColumn(out_col, resolve_href_udf(base, h))
+    return fast.unionByName(slow)
+
+
+def _scheme_rest(url: Column) -> Column:
+    """Chars after the http(s):// scheme, '' for non-absolute URLs.
+    Substring arithmetic only — no regex, no parse_url (which also
+    diverges from canon_core by stripping ports from HOST)."""
+    low8 = F.lower(F.substring(url, 1, 8))
     return (
-        F.when(h == "", _strip_fragment(base))
-        .when(clean_abs, h)
-        .when(is_junk, F.lit(""))
-        .otherwise(resolve_href_udf(base, h))
+        F.when(low8 == "https://", F.substring(url, 9, 1 << 30))
+        .when(F.substring(low8, 1, 7) == "http://", F.substring(url, 8, 1 << 30))
+        .otherwise(F.lit(""))
     )
 
 
 def host_col(url: Column) -> Column:
-    """Lowercased host (P2). `parse_url` is JVM-side."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased authority (P2) — matches canon_core.split_url exactly
+    (authority up to the first '/', ports included)."""
+    return F.lower(F.substring_index(_scheme_rest(url), "/", 1))
 
 
 def path_col(url: Column) -> Column:
     """Path+query of an absolute URL, '/' when absent (mirrors
     canon_core.split_url)."""
-    p = F.regexp_replace(url, "^(?i)https?://[^/]*", "")
-    return F.when(p == "", "/").otherwise(p)
+    rest = _scheme_rest(url)
+    slash = F.instr(rest, "/")
+    return (
+        F.when(rest == "", url)  # non-absolute: core returns the input
+        .when(slash == 0, F.lit("/"))
+        .otherwise(F.substring(rest, slash, 1 << 30))
+    )
 
 
 def url_hash_col(url: Column) -> Column:

@@ -52,6 +52,66 @@ def eligible(queued: DataFrame, host_state: DataFrame, batch_id: int) -> DataFra
     )
 
 
+def global_topk(keys: DataFrame, n: int) -> DataFrame:
+    """Global deterministic top-n of scheduling keys in the pinned total
+    order, with a 0-based ``rank`` column.
+
+    ``orderBy().limit(n)`` plans TakeOrderedAndProject, whose driver-side
+    merge touches n x num_partitions rows — a serial cost that grows with
+    the cluster and killed N→4N scaling at bench size. Instead:
+
+    1. parallel prefilter to a ~1.3n superset via an approximate priority
+       quantile (loop doubles the quantile until the superset covers n —
+       never drops a winner because the filter keeps all priority ties);
+    2. one-task sort + rank of the superset.
+
+    Serial cost is O(superset log superset), bounded by the budget (plus
+    quantile slack / priority ties) and INDEPENDENT of |keys| — the right
+    trade for a crawl scheduler whose per-batch budget is fixed while the
+    frontier grows to 10^10.
+
+    ``keys`` is materialized (localCheckpoint) first: this function makes
+    multiple passes (stats, filter) and the caller's window pipeline must
+    execute once, not once per pass. Size is bounded by the caller's
+    per-host caps (≈ hosts x max_active), not the frontier.
+
+    Driver-side job count is kept minimal (it's serial overhead that eats
+    scaling efficiency): one stats job computes the row count AND a grid
+    of priority quantiles together; one count job validates the chosen
+    cutoff (looping wider only in the rare under-coverage case)."""
+    grid = [0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.15, 0.25, 0.35, 0.45, 0.55, 0.7, 0.85, 1.0]
+    accuracy = 10_000
+    # coalesce before materializing: the later stats/filter jobs run over
+    # this tiny set, and hundreds of near-empty partitions cost more in
+    # task launches (serial driver time) than they win in parallelism
+    parallelism = keys.sparkSession.sparkContext.defaultParallelism
+    keys = keys.coalesce(max(parallelism, 16)).localCheckpoint(eager=True)
+    stats = keys.agg(
+        F.count("*").alias("c"),
+        F.percentile_approx("priority", F.array(*[F.lit(g) for g in grid]), F.lit(accuracy)).alias("cuts"),
+    ).first()
+    total, cuts = stats["c"], stats["cuts"]
+    if total > n:
+        target = min(1.0, 1.25 * n / total)
+        idx = next(i for i, g in enumerate(grid) if g >= target)
+        # quantile rank error ≤ total/accuracy; when that's within the 25%
+        # slack the cutoff provably covers n and the validation count job
+        # is skipped (it only runs for tiny-n-vs-huge-total batches)
+        provably_covered = total / accuracy <= 0.2 * n
+        while True:
+            superset = keys.filter(F.col("priority") <= F.lit(cuts[idx]))
+            if idx >= len(grid) - 1 or provably_covered or superset.count() >= n:
+                break
+            idx += 1  # approx-quantile under-covered (rare): widen
+        keys = superset
+    w = Window.orderBy(*ORDER_COLS)  # single partition — already repartition(1)
+    return (
+        keys.repartition(1)
+        .withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < n)
+    )
+
+
 def schedule(
     elig: DataFrame,
     politeness: DataFrame,
@@ -59,31 +119,30 @@ def schedule(
 ) -> DataFrame:
     """O3+O4: per-host cap then global budget, all in the pinned total
     order. Returns scheduled rows with a ``rank`` column (0-based global
-    rank within the batch — the crawl_order position)."""
+    rank within the batch — the crawl_order position).
+
+    Scale shape: both window shuffles move only narrow scheduling keys
+    (~40 B/row: host, priority, depth, seq, salt, cap) — url/parent strings
+    never shuffle. Winners (≤ global_budget rows) broadcast-join back onto
+    ``elig``, so the wide rows are touched scan-side only."""
     pol = F.broadcast(politeness.select("host", "max_active"))
-    df = elig.join(pol, "host", "left").withColumn(
-        "max_active_eff", F.coalesce(F.col("max_active"), F.lit(cfg.default_max_active))
+    keys = elig.join(pol, "host", "left").select(
+        "host",
+        *ORDER_COLS,
+        F.pmod(F.xxhash64("url_hash"), F.lit(cfg.n_salts)).alias("salt"),
+        F.coalesce(F.col("max_active"), F.lit(cfg.default_max_active)).alias("cap"),
     )
 
     # phase 1: partial per-(host, salt) top-k — caps hot-host partition size
-    salt = F.pmod(F.xxhash64("url_hash"), F.lit(cfg.n_salts))
-    w1 = Window.partitionBy("host", salt).orderBy(*ORDER_COLS)
-    df = df.withColumn("rn1", F.row_number().over(w1)).filter(
-        F.col("rn1") <= F.col("max_active_eff")
-    )
-    # phase 2: exact per-host top-k over ≤ n_salts*max_active survivors
+    w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
+    keys = keys.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") <= F.col("cap"))
+    # phase 2: exact per-host top-k over ≤ n_salts*cap survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
-    df = df.withColumn("rn2", F.row_number().over(w2)).filter(
-        F.col("rn2") <= F.col("max_active_eff")
-    )
+    keys = keys.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= F.col("cap"))
 
-    # global budget (O3): top-n in total order → TakeOrderedAndProject
-    df = df.orderBy(*ORDER_COLS).limit(cfg.global_budget)
-    # rank over ≤ global_budget rows (single small partition is fine here)
-    w = Window.orderBy(*ORDER_COLS)
-    return df.withColumn("rank", F.row_number().over(w) - 1).drop(
-        "rn1", "rn2", "max_active", "max_active_eff"
-    )
+    # global budget (O3) + deterministic rank, bounded one-task selection
+    winners = global_topk(keys.select(*ORDER_COLS), cfg.global_budget)
+    return elig.join(F.broadcast(winners.select("seq", "rank")), "seq")
 
 
 def robots_allowed(path: Column, disallow: Column, allow: Column) -> Column:

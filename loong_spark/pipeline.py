@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from . import schemas
 from .bloom import BloomFilterManager
-from .canon import canonicalize_col, host_col, path_col, url_hash_col
+from .canon import canonicalize_df, host_col, path_col, url_hash_col
 from .config import CrawlConfig, HostPolicy
 from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
 from .store import SnapshotStore
@@ -192,9 +192,17 @@ class CrawlPipeline:
         )
 
         # within-batch dedup: first enqueue attempt wins (mirrors the
-        # test-and-set ordering of Filter.pm:9-27 applied sequentially)
-        w_dup = Window.partitionBy("url_hash").orderBy("parent_rank", "link_idx")
-        links = links.withColumn("_rn", F.row_number().over(w_dup)).filter(F.col("_rn") == 1).drop("_rn")
+        # test-and-set ordering of Filter.pm:9-27 applied sequentially).
+        # Expressed as min(struct(order_key..., payload...)) — a hash agg
+        # with map-side partial combine (no per-partition sort, unlike a
+        # row_number window); (parent_rank, link_idx) is unique per row so
+        # the pick is total-order deterministic.
+        rest = [c for c in links.columns if c not in ("url_hash", "parent_rank", "link_idx")]
+        links = (
+            links.groupBy("url_hash")
+            .agg(F.min(F.struct("parent_rank", "link_idx", *rest)).alias("_w"))
+            .select("url_hash", "_w.*")
+        )
 
         # seen filter: bloom prefilter + exact anti-join backstop (F1)
         hashed = self.bloom.hashed(links)
@@ -296,13 +304,17 @@ class CrawlPipeline:
 
         # -- links (O6): explode + canonicalize (P1) ----------------------
         links = (
-            html.select(
-                F.col("url").alias("parent"),
-                F.col("rank").alias("parent_rank"),
-                (F.col("depth") + 1).alias("depth"),
-                F.posexplode("out_links").alias("link_idx", "href"),
+            canonicalize_df(
+                html.select(
+                    F.col("url").alias("parent"),
+                    F.col("rank").alias("parent_rank"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.posexplode("out_links").alias("link_idx", "href"),
+                ),
+                base_col="parent",
+                href_col="href",
+                out_col="url",
             )
-            .withColumn("url", canonicalize_col(F.col("parent"), F.col("href")))
             .filter(F.col("url") != "")
             .select(
                 "url",

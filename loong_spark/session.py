@@ -21,10 +21,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 4x cores: enough task granularity that one straggler partition
+    # doesn't idle the rest of the executor slots (AQE coalesces the
+    # small ones back; parallelismFirst keeps >= cores)
+    shuffle_partitions = shuffle_partitions or max(4 * cores, 16)
+    # Shuffle/spill dir: memory-backed when available (the sandbox's /tmp is
+    # spinning-disk-backed and serializes shuffle I/O across cores; a real
+    # cluster uses NVMe-local dirs). Overridable via LOONG_LOCAL_DIR.
+    local_dir = os.environ.get("LOONG_LOCAL_DIR")
+    if local_dir is None:
+        local_dir = "/dev/shm/loong-spark-local" if os.path.isdir("/dev/shm") else "/tmp"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

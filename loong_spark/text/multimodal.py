@@ -131,6 +131,24 @@ def audio_decode_stub(media: DataFrame) -> DataFrame:
     )
 
 
+def media_table_from_documents(documents: DataFrame, repeat_n: int = 32) -> DataFrame:
+    """Deterministic media table derived from the driver's ``documents``
+    table (no network): every third doc contributes an image, refs are
+    synthesized per doc, bytes are the utf-8 ref repeated ``repeat_n``
+    times — an oracle-checkable stand-in for fetched blobs that still
+    exercises the real binary-column plumbing."""
+    refs = documents.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.concat(F.lit("img://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+        .alias("media_ref")
+    )
+    return refs.select(
+        F.md5("media_ref").alias("media_id"),
+        "media_ref",
+        F.lit("image").alias("kind"),
+        F.encode(F.repeat(F.col("media_ref"), repeat_n), "utf-8").cast("binary").alias("bytes"),
+    )
+
+
 def media_table_from_docs(docs: DataFrame) -> DataFrame:
     """Derive a media table from the crawl docs' media spans: media bytes
     are faked from the ref string (no network), metadata is real."""

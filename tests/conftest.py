@@ -10,7 +10,11 @@ from loong_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("loong-tests", cores=int(os.environ.get("LOONG_TEST_CORES", "8")))
+    s = get_spark(
+        "loong-tests",
+        cores=int(os.environ.get("LOONG_TEST_CORES", "8")),
+        shuffle_partitions=8,  # tiny fixtures: task-launch overhead dominates
+    )
     yield s
 
 

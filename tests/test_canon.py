@@ -96,3 +96,23 @@ def test_spark_parity(spark):
     for r in got2:
         assert r["h"] == extract_host(r["url"])
         assert r["m"] == url_md5(r["url"])
+
+
+def test_canonicalize_df_parity(spark):
+    """DataFrame split-union form == column form == pure core (the df form
+    exists because ExtractPythonUDFs defeats branch short-circuiting)."""
+    from loong_spark.canon import canonicalize_df
+
+    rows = [(BASE, href) for href, _ in CASES] + [
+        ("http://h0.example/", "p/5"),
+        ("http://h0.example/x/ok/44", "../../p/3#s"),
+        ("http://h9.example/p/8", " ./x/7 "),
+    ]
+    df = spark.createDataFrame(rows, "base string, href string")
+    got = {
+        (r["base"], r["href"]): r["url"]
+        for r in canonicalize_df(df, "base", "href", "url").collect()
+    }
+    assert len(got) == len(set(rows))
+    for base, href in set(rows):
+        assert got[(base, href)] == canonicalize(base, href), (base, href)
