@@ -367,6 +367,27 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, dim=64, k=5, n_planes=6)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots rules (north_star; frontier.robots_allowed): longest-prefix
+    allow/disallow over synthesized paths, pure JVM array ops. Disallow
+    /click/ and /view/ except the /click/1* subtree (allow wins when its
+    matching prefix is at least as long)."""
+    from loong_spark.frontier import robots_allowed
+
+    ev = _t(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("/"), F.col("event_type"), F.lit("/"),
+        F.pmod(F.col("event_id"), F.lit(100)).cast("string"),
+    )
+    disallow = F.array(F.lit("/click/"), F.lit("/view/"))
+    allow = F.array(F.lit("/click/1"))
+    return ev.select(
+        "event_id",
+        path.alias("path"),
+        robots_allowed(path, disallow, allow).alias("allowed"),
+    )
+
+
 def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     mapInPandas feature extraction (decode kernel is a deterministic
@@ -430,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
+        "robots_filter": q_robots_filter,
         "mm_image_features": q_mm_image_features,
         "mm_video_frames": q_mm_video_frames,
         "mm_resize_meta": q_mm_resize_meta,
@@ -740,6 +762,22 @@ def oracle_sql() -> dict[str, str]:
               JOIN norms nb ON nb.vec_id = b.vec_id
             )
             SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9""",
+        "robots_filter": """
+            WITH p AS (
+              SELECT event_id,
+                     '/' || event_type || '/' || CAST(event_id % 100 AS VARCHAR) AS path
+              FROM events
+            )
+            SELECT event_id, path,
+              coalesce(list_max(list_transform(
+                  list_filter(['/click/1'], r -> starts_with(path, r)),
+                  r -> length(r))), -1)
+              >=
+              coalesce(list_max(list_transform(
+                  list_filter(['/click/', '/view/'], r -> starts_with(path, r)),
+                  r -> length(r))), -1)
+              AS allowed
+            FROM p""",
         "mm_image_features": """
             WITH media AS (
               SELECT md5('img://' || source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,

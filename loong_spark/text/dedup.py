@@ -142,8 +142,39 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, verify_threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # verify ONLY the candidate pairs (the whole point of LSH): restrict
+    # the shingle self-join to docs that appear in some candidate pair,
+    # then keep candidate pairs. At scale candidates are ~linear while
+    # the unrestricted self-join is quadratic within shingle buckets.
+    sh = shingles(docs, id_col, text_col, n)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_col(text_col, bits: int = 16):
