@@ -16,9 +16,14 @@ a lost URL. No false negatives by construction.
 
 Scale: bits are sized from ``bloom_expected_per_shard``; at 10^10 URLs
 with 10 bits/URL ≈ 12.5 GB total, so n_shards grows to keep each shard
-« executor memory, and the broadcast switches to per-partition shard
-reads (each partition only needs its own shard when candidates are
-pre-partitioned by shard_id — same hash both sides, no extra shuffle).
+« executor memory. Two probe modes (``cfg.bloom_mode``, default auto):
+
+* ``broadcast`` — collect+broadcast a snapshot of all shards; fastest
+  while total bits ≤ BROADCAST_LIMIT_BYTES.
+* ``cogroup`` — :meth:`BloomFilterManager.maybe_seen_cogroup`: candidates
+  cogroup with ``seen_shards`` on shard_id (same hash both sides), each
+  task probes exactly one shard — no driver collect, no broadcast, the
+  only shape that survives 12.5 GB of bitsets.
 """
 
 from __future__ import annotations
@@ -28,10 +33,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from .config import CrawlConfig
 from .schemas import SEEN_SHARDS
 
 _HASH_COLS = ("_bh1", "_bh2")
+
+#: above this total-bitset size the broadcast snapshot stops being viable
+#: (driver collect + per-executor copy); the cogroup path takes over
+BROADCAST_LIMIT_BYTES = 32 << 20
 
 
 def shard_bytes(cfg: CrawlConfig) -> int:
@@ -67,6 +78,18 @@ class BloomFilterManager:
         self.cfg = cfg
         self.m_bits = shard_bytes(cfg) * 8
         self._bcast = None  # driver-held broadcast of {shard_id: np.uint8 array}
+
+    @property
+    def mode(self) -> str:
+        """'broadcast' (snapshot to every executor — fastest while the
+        total bitset is small) or 'cogroup' (per-partition shard probe —
+        the 10^10-URL path: no driver collect, no broadcast; each task
+        sees exactly one shard). cfg.bloom_mode='auto' switches on total
+        bitset size."""
+        if self.cfg.bloom_mode != "auto":
+            return self.cfg.bloom_mode
+        total = self.cfg.n_shards * shard_bytes(self.cfg)
+        return "broadcast" if total <= BROADCAST_LIMIT_BYTES else "cogroup"
 
     # -- hashing ------------------------------------------------------------
     def hashed(self, df: DataFrame, url_hash_col: str = "url_hash") -> DataFrame:
@@ -110,6 +133,47 @@ class BloomFilterManager:
             return pd.Series(out)
 
         return df.withColumn("maybe_seen", probe("_bh1", "_bh2", "shard_id"))
+
+    def maybe_seen_cogroup(self, df: DataFrame, shards_df: DataFrame) -> DataFrame:
+        """Adds boolean ``maybe_seen`` WITHOUT any driver collect or
+        broadcast: candidates cogroup with their bitset shard on shard_id
+        (same hash both sides), so each task probes one shard for its
+        slice of candidates — numpy-vectorized, O(candidates) shuffle of
+        16-byte keys. This is the 10^10-URL path the broadcast snapshot
+        cannot reach (~12.5 GB of bitsets at 10 bits/URL).
+
+        ``df`` must be hashed() output with unique url_hash per row (the
+        within-batch dedup upstream guarantees it)."""
+        cfg_k, m = self.cfg.bloom_num_hashes, self.m_bits
+        out_schema = T.StructType(
+            [
+                T.StructField("url_hash", T.StringType(), False),
+                T.StructField("maybe_seen", T.BooleanType(), False),
+            ]
+        )
+
+        def probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf):
+                return pd.DataFrame(
+                    {"url_hash": pd.Series(dtype="object"), "maybe_seen": pd.Series(dtype="bool")}
+                )
+            if not len(shard_pdf):  # no bitset for this shard yet → all unseen
+                flags = np.zeros(len(cand_pdf), dtype=bool)
+            else:
+                bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint8)
+                pos = _positions(
+                    cand_pdf["_bh1"].to_numpy(), cand_pdf["_bh2"].to_numpy(), cfg_k, m
+                )
+                flags = _test(bits, pos)
+            return pd.DataFrame({"url_hash": cand_pdf["url_hash"], "maybe_seen": flags})
+
+        cand_keys = df.select("url_hash", "_bh1", "_bh2", "shard_id")
+        flags = (
+            cand_keys.groupBy("shard_id")
+            .cogroup(shards_df.select("shard_id", "bits").groupBy("shard_id"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+        return df.join(flags, "url_hash")
 
     # -- shard update (cogrouped applyInPandas) -------------------------------
     def updated_shards(

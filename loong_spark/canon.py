@@ -42,7 +42,10 @@ def _strip_fragment(col: Column) -> Column:
 def _jvm_parts(base: Column, href: Column) -> tuple[Column, Column, Column]:
     """(stripped href, jvm_handled predicate, jvm result). Shared by the
     column and DataFrame canonicalizers."""
-    h = _strip_fragment(F.trim(href))
+    # NULL href coalesces to '' so it takes the empty→base branch (same as
+    # resolve_href('')); without this, jvm_handled is NULL and the row
+    # would silently drop from BOTH the fast and slow filters.
+    h = _strip_fragment(F.trim(F.coalesce(href, F.lit(""))))
     # Predicate battery ordered cheap→expensive: codegen emits
     # short-circuit && / ||, so the typical absolute-href row costs a few
     # substring tests + ONE regex. The substring forms of the dot-segment

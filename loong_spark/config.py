@@ -53,6 +53,10 @@ class CrawlConfig:
     max_batches: int = 10_000
     #: use the sharded bloom prefilter (exact anti-join always backstops)
     use_bloom: bool = True
+    #: bloom probe mode: 'broadcast' (snapshot to executors), 'cogroup'
+    #: (per-partition shard probe — the 10^10-URL path), or 'auto'
+    #: (switch on total bitset size; see bloom.BROADCAST_LIMIT_BYTES)
+    bloom_mode: str = "auto"
 
     def delay_for(self, politeness: dict | None) -> int:
         return int(politeness["delay_s"]) if politeness else self.default_delay

@@ -63,7 +63,8 @@ def global_topk(keys: DataFrame, n: int) -> DataFrame:
     1. parallel prefilter to a ~1.3n superset via an approximate priority
        quantile (loop doubles the quantile until the superset covers n —
        never drops a winner because the filter keeps all priority ties);
-    2. one-task sort + rank of the superset.
+    2. heap-pruned exact top-n (orderBy().limit(n): per-partition heaps,
+       tie-robust) + a trivial single-task rank over the n winners.
 
     Serial cost is O(superset log superset), bounded by the budget (plus
     quantile slack / priority ties) and INDEPENDENT of |keys| — the right
@@ -104,11 +105,17 @@ def global_topk(keys: DataFrame, n: int) -> DataFrame:
                 break
             idx += 1  # approx-quantile under-covered (rare): widen
         keys = superset
-    w = Window.orderBy(*ORDER_COLS)  # single partition — already repartition(1)
+    # final selection: orderBy().limit(n) = per-partition top-n heaps +
+    # single-partition merge of ≤ n·n_parts rows. Because the superset was
+    # coalesced to ≤ max(parallelism,16) partitions, the merge is bounded
+    # even when priority ties inflate the superset past 1.3n (a uniform-
+    # depth batch keeps every row at the cutoff value) — the heaps prune
+    # the ties before the serial step ever sees them.
+    w = Window.orderBy(*ORDER_COLS)  # ≤ n rows by now — trivial single task
     return (
-        keys.repartition(1)
+        keys.orderBy(*ORDER_COLS).limit(n)
+        .repartition(1)
         .withColumn("rank", F.row_number().over(w) - 1)
-        .filter(F.col("rank") < n)
     )
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -63,6 +63,27 @@ _CAND = T.StructType(
         T.StructField("attempt", T.IntegerType(), False),
     ]
 )
+
+
+def obs_vals(obs: Observation, **defaults: int) -> dict[str, int]:
+    """Read an Observation's metrics with empty-plan resilience.
+
+    When the optimizer / AQE proves the observed branch empty
+    (PropagateEmptyRelation), the CollectMetrics node is pruned and the
+    JVM observation holds a schemaless empty Row — ``obs.get`` then dies
+    in toPyRow. Pruning can ONLY happen because zero rows flowed, so the
+    defaults (counts/sums over an empty input = 0) are exact, not a
+    guess. NULL metrics (SUM over zero rows) get the same treatment."""
+    try:
+        row = obs.get
+    except Exception as e:  # Py4JJavaError from toPyRow on the empty row
+        if "toPyRow" not in str(e) and "assertion" not in str(e).lower():
+            raise
+        return {k: int(v) for k, v in defaults.items()}
+    d = row if isinstance(row, dict) else row.asDict()
+    return {
+        k: int(d[k]) if d.get(k) is not None else int(v) for k, v in defaults.items()
+    }
 
 
 class CrawlPipeline:
@@ -170,8 +191,9 @@ class CrawlPipeline:
         priority → seq. Returns (new queued entries, seen additions, stats).
         Retries bypass robots/dedup/priority but share seq numbering.
 
-        MATERIALIZES intermediates to the store's _work area (cuts lineage;
-        the counts then come from parquet metadata, not recomputation)."""
+        MATERIALIZES the result to the store's _work area (cuts lineage);
+        every count the caller needs rides the SAME write action as
+        ``Observation`` metrics — zero extra driver jobs."""
         st = self.store
         pol = F.broadcast(
             st.read("politeness", schemas.POLITENESS).select(
@@ -183,12 +205,24 @@ class CrawlPipeline:
         retries = cand.filter(F.col("is_retry"))
 
         # robots (longest-prefix allow/disallow, checked before seen —
-        # excluded URLs never enter the seen set)
+        # excluded URLs never enter the seen set). The dropped-count is
+        # observed in-flight on the commit action below, not recomputed.
+        obs_robots = Observation()
         links = (
             links.join(pol, "host", "left")
             .withColumn("_path", path_col(F.col("url")))
-            .filter(robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")))
-            .drop("robots_disallow", "robots_allow", "_path")
+            .withColumn(
+                "_allowed",
+                robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")),
+            )
+            .observe(
+                obs_robots,
+                F.coalesce(
+                    F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)), F.lit(0)
+                ).alias("robots_dropped"),
+            )
+            .filter(F.col("_allowed"))
+            .drop("robots_disallow", "robots_allow", "_path", "_allowed")
         )
 
         # within-batch dedup: first enqueue attempt wins (mirrors the
@@ -204,10 +238,18 @@ class CrawlPipeline:
             .select("url_hash", "_w.*")
         )
 
-        # seen filter: bloom prefilter + exact anti-join backstop (F1)
+        # seen filter: bloom prefilter + exact anti-join backstop (F1).
+        # broadcast mode probes a driver-loaded snapshot; cogroup mode
+        # (the 10^10 path) joins candidates with their shard's bitset —
+        # no driver collect (bloom.maybe_seen_cogroup).
         hashed = self.bloom.hashed(links)
         if self.cfg.use_bloom:
-            hashed = self.bloom.maybe_seen_col(hashed)
+            if self.bloom.mode == "cogroup":
+                hashed = self.bloom.maybe_seen_cogroup(
+                    hashed, st.read("seen_shards", schemas.SEEN_SHARDS)
+                )
+            else:
+                hashed = self.bloom.maybe_seen_col(hashed)
             fast_unseen = hashed.filter(~F.col("maybe_seen"))
             maybe = hashed.filter(F.col("maybe_seen"))
             seen = st.read("seen", schemas.SEEN).select("url_hash")
@@ -241,13 +283,22 @@ class CrawlPipeline:
             F.lit(batch_id).cast("long").alias("enqueued_batch"),
         )
 
-        st.commit("_work_new_entries", new_entries)
+        obs_new = Observation()
+        new_entries = new_entries.observe(
+            obs_new,
+            F.coalesce(
+                F.sum(F.when(F.col("attempt") == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("n_new"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+        st.commit("_work_new_entries", new_entries)  # the ONE action here
         new_entries = st.read("_work_new_entries")
         new_seen = new_entries.filter(F.col("attempt") == 0).select(
             "url_hash", "host", F.lit(batch_id).cast("long").alias("seen_batch")
         )
-        n_new = new_entries.filter(F.col("attempt") == 0).count()
-        return new_entries, new_seen, {"n_new": n_new}
+        stats = obs_vals(obs_new, n_new=0, n_entries=0)
+        stats.update(obs_vals(obs_robots, robots_dropped=0))
+        return new_entries, new_seen, stats
 
     # ------------------------------------------------------------- one batch
     def run_batch(self, batch_id: int) -> dict:
@@ -259,9 +310,11 @@ class CrawlPipeline:
         # -- schedule (O1-O4) --------------------------------------------
         elig = eligible(queued, host_state, batch_id)
         sched = schedule(elig, politeness, cfg)
+        obs_sched = Observation()
+        sched = sched.observe(obs_sched, F.count(F.lit(1)).alias("n"))
         st.commit("_work_scheduled", sched)
+        n_sched = obs_vals(obs_sched, n=0)["n"]
         sched = st.read("_work_scheduled")
-        n_sched = sched.count()
 
         st.append(
             "crawl_order",
@@ -274,18 +327,32 @@ class CrawlPipeline:
         )
 
         if n_sched == 0:
-            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, queued_df=queued)
+            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, frontier_size=queued.count())
             self._write_checkpoint(batch_id)
             return m
 
-        # -- fetch (S4): broadcast the small scheduled side into the scan
+        # -- fetch (S4): broadcast the small scheduled side into the scan;
+        # docs/failed counts ride the commit action as observed metrics
         graph = st.read("web_graph", schemas.WEB_GRAPH)
-        fetched = F.broadcast(sched).join(
-            graph.select("url", "status", "content_type", "body_spans", "out_links"),
-            "url",
-            "left",
+        is_doc = (F.col("status") == 200) & (F.col("content_type") == "text/html")
+        is_failed = F.col("status").isNull() | (F.col("status") != 200)
+        obs_fetch = Observation()
+        fetched = (
+            F.broadcast(sched)
+            .join(
+                graph.select("url", "status", "content_type", "body_spans", "out_links"),
+                "url",
+                "left",
+            )
+            .observe(
+                obs_fetch,
+                F.coalesce(F.sum(F.when(is_doc, 1).otherwise(0)), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum(F.when(is_failed, 1).otherwise(0)), F.lit(0)).alias("n_failed"),
+            )
         )
         st.commit("_work_fetched", fetched)
+        fvals = obs_vals(obs_fetch, n_docs=0, n_failed=0)
+        n_docs, n_failed = fvals["n_docs"], fvals["n_failed"]
         fetched = st.read("_work_fetched")
 
         ok = fetched.filter(F.col("status") == 200)
@@ -300,7 +367,6 @@ class CrawlPipeline:
             F.lit(batch_id).cast("long").alias("fetched_batch"),
         )
         st.append("docs", docs_new, schemas.DOCS)
-        n_docs = docs_new.count()
 
         # -- links (O6): explode + canonicalize (P1) ----------------------
         links = (
@@ -329,9 +395,11 @@ class CrawlPipeline:
                 F.lit(0).alias("attempt"),
             )
         )
+        obs_links = Observation()
+        links = links.observe(obs_links, F.count(F.lit(1)).alias("n"))
         st.commit("_work_links", links)
+        n_links = obs_vals(obs_links, n=0)["n"]
         links = st.read("_work_links")
-        n_links = links.count()
 
         # -- retries (O8) --------------------------------------------------
         retries = failed.filter(F.col("attempt") + 1 < cfg.max_attempts).select(
@@ -342,18 +410,19 @@ class CrawlPipeline:
             F.col("priority").alias("retry_priority"),
             (F.col("attempt") + 1).cast("int").alias("attempt"),
         )
-        n_failed = failed.count()
 
         # -- admit new frontier entries ------------------------------------
         cand = links.unionByName(retries)
         new_entries, new_seen, stats = self._admit(cand, host_state, batch_id)
-        n_deduped = n_links - stats["n_new"] - self._robots_dropped_count(links)
+        n_deduped = n_links - stats["n_new"] - stats["robots_dropped"]
 
         # -- state updates ---------------------------------------------------
+        obs_q = Observation()
         queued_next = queued.join(
             F.broadcast(sched.select("seq")), "seq", "left_anti"
-        ).unionByName(new_entries)
+        ).unionByName(new_entries).observe(obs_q, F.count(F.lit(1)).alias("n"))
         st.commit("queued", queued_next)
+        frontier_size = obs_vals(obs_q, n=0)["n"]
         st.append("seen", new_seen, schemas.SEEN)
 
         # host_state: politeness clocks + seen counts
@@ -388,30 +457,19 @@ class CrawlPipeline:
             self.bloom.updated_shards(shards, self.bloom.hashed(new_seen), batch_id),
         )
 
-        m = self._metrics_row(batch_id, n_sched, n_deduped, n_docs, n_links, n_failed)
+        m = self._metrics_row(
+            batch_id, n_sched, n_deduped, n_docs, n_links, n_failed,
+            frontier_size=frontier_size,
+        )
         self._write_checkpoint(batch_id)
         for t in ("queued", "seen", "host_state", "seen_shards", "docs", "crawl_order", "metrics"):
             st.vacuum(t, keep=3)
         return m
 
-    def _robots_dropped_count(self, links: DataFrame) -> int:
-        """Links dropped by robots (not counted as deduped — oracle parity)."""
-        pol = F.broadcast(
-            self.store.read("politeness", schemas.POLITENESS).select(
-                "host", "robots_disallow", "robots_allow"
-            )
-        )
-        return (
-            links.join(pol, "host", "left")
-            .withColumn("_path", path_col(F.col("url")))
-            .filter(~robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")))
-            .count()
-        )
-
     def _metrics_row(
-        self, batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, queued_df=None
+        self, batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, frontier_size
     ) -> dict:
-        qn = (queued_df if queued_df is not None else self.store.read("queued")).count()
+        qn = frontier_size
         m = {
             "batch_id": batch_id,
             "urls_scheduled": n_sched,
@@ -443,11 +501,16 @@ class CrawlPipeline:
         batch_id = ck["batch_id"]
         cap = max_batches if max_batches is not None else self.cfg.max_batches
         out = []
+        fsize = None  # unknown until first batch; then tracked from metrics
         while batch_id < cap:
-            if self.store.read("queued", schemas.FRONTIER).isEmpty():
+            if fsize is None:
+                fsize = self.store.read("queued", schemas.FRONTIER).count()
+            if fsize == 0:
                 break
-            if self.cfg.use_bloom:
+            if self.cfg.use_bloom and self.bloom.mode == "broadcast":
                 self.bloom.load_broadcast(self.store.read("seen_shards", schemas.SEEN_SHARDS))
             batch_id += 1
-            out.append(self.run_batch(batch_id))
+            m = self.run_batch(batch_id)
+            fsize = m["frontier_size"]
+            out.append(m)
         return out

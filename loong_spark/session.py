@@ -27,10 +27,20 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or max(4 * cores, 16)
     # Shuffle/spill dir: memory-backed when available (the sandbox's /tmp is
     # spinning-disk-backed and serializes shuffle I/O across cores; a real
-    # cluster uses NVMe-local dirs). Overridable via LOONG_LOCAL_DIR.
+    # cluster uses NVMe-local dirs). Gated on actual free space — container
+    # /dev/shm is often a tiny tmpfs (Docker default 64 MB) where shuffle
+    # files would ENOSPC or squeeze application RAM. Overridable via
+    # LOONG_LOCAL_DIR.
     local_dir = os.environ.get("LOONG_LOCAL_DIR")
     if local_dir is None:
-        local_dir = "/dev/shm/loong-spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+        local_dir = "/tmp"
+        if os.path.isdir("/dev/shm"):
+            try:
+                vfs = os.statvfs("/dev/shm")
+                if vfs.f_bavail * vfs.f_frsize >= 8 << 30:  # ≥ 8 GiB free
+                    local_dir = "/dev/shm/loong-spark-local"
+            except OSError:
+                pass
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

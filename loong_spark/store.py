@@ -1,19 +1,42 @@
-"""SnapshotStore — snapshot-versioned parquet tables with atomic commits.
+"""SnapshotStore — snapshot-versioned parquet tables with atomic commits
+and O(batch) delta appends.
 
 The sandbox has no Iceberg runtime jar, so this provides the same commit
-model Iceberg gives us (immutable snapshots + an atomically-swapped
-pointer), backed by plain parquet directories:
+model Iceberg gives us (immutable data files + manifests + an atomically
+swapped pointer), backed by plain parquet directories:
 
-    <warehouse>/<table>/v<N>/part-*.parquet     (immutable snapshot data)
-    <warehouse>/<table>/MANIFEST.json           (current version pointer,
-                                                 written via os.replace —
-                                                 atomic on POSIX)
+    <warehouse>/<table>/d<N>/part-*.parquet   (immutable data dirs; a dir
+                                               is written exactly once)
+    <warehouse>/<table>/m<N>.json             (per-version manifest: the
+                                               list of data dirs that make
+                                               up snapshot N)
+    <warehouse>/<table>/MANIFEST.json         (current version pointer,
+                                               written via os.replace —
+                                               atomic on POSIX)
+
+Commit protocol (identical shape to Iceberg's):
+
+* ``commit``  (replace) — write one new data dir, manifest = [that dir].
+* ``append``  — write ONLY the new rows into a fresh data dir; the new
+  manifest = previous manifest's dirs + the new dir. **I/O is O(batch),
+  not O(table)** — this is the property that makes append-only tables
+  (seen / docs / crawl_order / metrics) viable at 10^10 URLs, where a
+  read-union-rewrite append would make total write cost O(n²).
+* reads open the union of the manifest's dirs (Spark's multi-path
+  parquet reader — still one distributed scan, partition-pruned).
+* ``rollback`` just points MANIFEST.json at an older version's manifest;
+  old data dirs stay on disk until ``vacuum``.
+
+Appends amortize read cost with Iceberg-style compaction: when a
+manifest would exceed ``compact_threshold`` dirs, the append rewrites
+the union into a single dir (amortized O(total·log(total)/threshold)
+over a run — the same trade Iceberg's rewrite_data_files makes).
 
 On a real cluster with Iceberg configured (see session.py), each commit
-maps to ``df.writeTo(f"loong.{table}").createOrReplace()`` /
-``MERGE INTO`` and the manifest is Iceberg's own metadata; checkpoints
-then record Iceberg snapshot ids instead of version numbers. The pipeline
-only touches this interface, so the swap is one class.
+maps to ``df.writeTo(f"loong.{table}")`` append/createOrReplace and the
+manifest is Iceberg's own metadata; checkpoints then record Iceberg
+snapshot ids instead of version numbers. The pipeline only touches this
+interface, so the swap is one class.
 
 Scale note: reads and writes stay fully distributed (executors write
 part files); only the pointer swap is driver-side — identical to
@@ -31,14 +54,21 @@ from pyspark.sql import types as T
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, compact_threshold: int = 24):
         self.spark = spark
         self.warehouse = warehouse
+        self.compact_threshold = compact_threshold
         os.makedirs(warehouse, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
     def _mpath(self, table: str) -> str:
-        return os.path.join(self.warehouse, table, "MANIFEST.json")
+        return os.path.join(self._tdir(table), "MANIFEST.json")
+
+    def _vmpath(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), f"m{version}.json")
 
     def current_version(self, table: str) -> int:
         try:
@@ -47,15 +77,29 @@ class SnapshotStore:
         except FileNotFoundError:
             return -1
 
-    def _swap(self, table: str, version: int) -> None:
+    def _manifest(self, table: str, version: int) -> list[str]:
+        """Data dir names for snapshot ``version``."""
+        with open(self._vmpath(table, version)) as f:
+            return json.load(f)["dirs"]
+
+    def _swap(self, table: str, version: int, dirs: list[str]) -> None:
+        """Write the version manifest, then atomically move the pointer.
+        A crash between the two writes leaves the table at the old
+        version with an orphan manifest — same failure model as Iceberg
+        (metadata committed last wins)."""
+        os.makedirs(self._tdir(table), exist_ok=True)
+        vtmp = self._vmpath(table, version) + ".tmp"
+        with open(vtmp, "w") as f:
+            json.dump({"table": table, "version": version, "dirs": dirs}, f)
+        os.replace(vtmp, self._vmpath(table, version))
         tmp = self._mpath(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"table": table, "version": version}, f)
         os.replace(tmp, self._mpath(table))  # atomic pointer swap
 
     # -- data ---------------------------------------------------------------
-    def _vdir(self, table: str, version: int) -> str:
-        return os.path.join(self.warehouse, table, f"v{version}")
+    def _ddir(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), f"d{version}")
 
     def exists(self, table: str) -> bool:
         return self.current_version(table) >= 0
@@ -66,40 +110,65 @@ class SnapshotStore:
             if schema is None:
                 raise FileNotFoundError(f"table {table} has no snapshot and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._vdir(table, v))
+        paths = [os.path.join(self._tdir(table), d) for d in self._manifest(table, v)]
+        return self.spark.read.parquet(*paths)
 
     def commit(self, table: str, df: DataFrame) -> int:
         """Write a full new snapshot and swap the pointer (replace)."""
         v = self.current_version(table) + 1
-        df.write.mode("overwrite").parquet(self._vdir(table, v))
-        self._swap(table, v)
+        df.write.mode("overwrite").parquet(self._ddir(table, v))
+        self._swap(table, v, [f"d{v}"])
         return v
 
-    def append(self, table: str, df: DataFrame, schema: T.StructType) -> int:
-        """Append = old snapshot ∪ new rows, committed as a new snapshot.
-        (Iceberg would do a metadata-only append; at sandbox scale the
-        rewrite is acceptable and keeps snapshots self-contained.)"""
-        if self.exists(table):
-            df = self.read(table).unionByName(df)
-        return self.commit(table, df)
+    def append(self, table: str, df: DataFrame, schema: T.StructType | None = None) -> int:
+        """Delta append: write ONLY ``df``'s rows to a fresh data dir and
+        publish a manifest of old dirs + the new one — O(batch) I/O.
+        Compacts (rewrite-union) when the manifest grows past
+        ``compact_threshold`` dirs, Iceberg-rewrite_data_files style."""
+        cur = self.current_version(table)
+        if cur < 0:
+            return self.commit(table, df)
+        v = cur + 1
+        old_dirs = self._manifest(table, cur)
+        if len(old_dirs) + 1 > self.compact_threshold:
+            # amortized compaction: one rewrite every ~threshold appends
+            return self.commit(table, self.read(table).unionByName(df))
+        df.write.mode("overwrite").parquet(self._ddir(table, v))
+        self._swap(table, v, old_dirs + [f"d{v}"])
+        return v
 
     def rollback(self, table: str, version: int) -> None:
-        """Point the table back at an older snapshot (resume support)."""
-        if not os.path.isdir(self._vdir(table, version)):
-            raise FileNotFoundError(f"{table} v{version} missing")
-        self._swap(table, version)
+        """Point the table back at an older snapshot (resume support).
+        Metadata-only: the older manifest still lists its data dirs."""
+        if not os.path.isfile(self._vmpath(table, version)):
+            raise FileNotFoundError(f"{table} m{version}.json missing")
+        dirs = self._manifest(table, version)
+        self._swap(table, version, dirs)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
-        """Drop snapshots older than the newest ``keep`` (bounded disk)."""
+        """Drop snapshots older than the newest ``keep``: delete manifests
+        below the horizon, then any data dir no kept manifest references
+        (delta dirs shared by several snapshots survive until every
+        referencing snapshot ages out — Iceberg expire_snapshots)."""
         cur = self.current_version(table)
-        tdir = os.path.join(self.warehouse, table)
+        tdir = self._tdir(table)
         if cur < 0 or not os.path.isdir(tdir):
             return
-        for name in os.listdir(tdir):
-            if name.startswith("v") and name[1:].isdigit():
-                v = int(name[1:])
-                if v <= cur - keep:
-                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        horizon = cur - keep + 1
+        live: set[str] = set()
+        for name in list(os.listdir(tdir)):
+            if name.startswith("m") and name[1:-5].isdigit() and name.endswith(".json"):
+                v = int(name[1:-5])
+                if v < horizon:
+                    os.remove(os.path.join(tdir, name))
+                else:
+                    try:
+                        live.update(self._manifest(table, v))
+                    except FileNotFoundError:
+                        pass
+        for name in list(os.listdir(tdir)):
+            if name.startswith("d") and name[1:].isdigit() and name not in live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     def drop(self, table: str) -> None:
-        shutil.rmtree(os.path.join(self.warehouse, table), ignore_errors=True)
+        shutil.rmtree(self._tdir(table), ignore_errors=True)

@@ -130,9 +130,13 @@ def politeness_gate_stream(
             state.remove()
             return
         (last_admit,) = state.get if state.exists else (None,)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])  # deterministic ties
+        # a host group larger than one Arrow batch arrives as MULTIPLE
+        # chunks — concatenate first so the clock runs in global event-time
+        # order (per-group memory is bounded by assumption; sorting each
+        # chunk independently would admit out-of-order across chunks)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
             admitted = []
             for e in epochs:  # per-host sequential clock (tiny groups);
@@ -141,20 +145,17 @@ def politeness_gate_stream(
                 if ok:
                     last_admit = float(e)
                 admitted.append(ok)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf[host_col].to_numpy(),
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "ts": pdf["ts"].to_numpy(),
-                        "admitted": admitted,
-                    }
-                )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[host_col].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "admitted": admitted,
+                }
             )
         state.update((last_admit,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield from out
 
     return events.groupBy(F.col(host_col)).applyInPandasWithState(
         gate,

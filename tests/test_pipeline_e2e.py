@@ -34,11 +34,14 @@ def make_pipeline(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> Cr
     return pipe
 
 
-@pytest.mark.parametrize("use_bloom", [False, True])
-def test_tiny_full_crawl_matches_oracle(spark, warehouse, use_bloom):
-    cfg = CrawlConfig(global_budget=20, use_bloom=use_bloom, n_shards=4)
+@pytest.mark.parametrize(
+    "use_bloom,bloom_mode",
+    [(False, "auto"), (True, "broadcast"), (True, "cogroup")],
+)
+def test_tiny_full_crawl_matches_oracle(spark, warehouse, use_bloom, bloom_mode):
+    cfg = CrawlConfig(global_budget=20, use_bloom=use_bloom, n_shards=4, bloom_mode=bloom_mode)
     golden = run_oracle(TINY, cfg)
-    pipe = make_pipeline(spark, warehouse + str(use_bloom), TINY, cfg)
+    pipe = make_pipeline(spark, warehouse + str(use_bloom) + bloom_mode, TINY, cfg)
     metrics = pipe.run()
     assert len(metrics) == len(golden.metrics)
     assert_matches_oracle(pipe, golden)

@@ -1,0 +1,69 @@
+"""SnapshotStore delta-append semantics: append I/O is O(batch), reads
+union the manifest's data dirs, rollback is metadata-only, vacuum drops
+only unreferenced dirs, compaction bounds manifest growth."""
+
+import json
+import os
+
+from loong_spark.store import SnapshotStore
+
+
+def _mk(spark, tmp_path, **kw):
+    return SnapshotStore(spark, str(tmp_path / "wh"), **kw)
+
+
+def _dirs(store, table):
+    v = store.current_version(table)
+    with open(os.path.join(store.warehouse, table, f"m{v}.json")) as f:
+        return json.load(f)["dirs"]
+
+
+def test_append_writes_only_new_dir(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.commit("t", spark.range(10).selectExpr("id", "id * 2 AS v"))
+    d0_mtime = os.path.getmtime(os.path.join(st.warehouse, "t", "d0"))
+
+    st.append("t", spark.range(10, 15).selectExpr("id", "id * 2 AS v"))
+    assert _dirs(st, "t") == ["d0", "d1"]
+    # the original data dir was not rewritten by the append
+    assert os.path.getmtime(os.path.join(st.warehouse, "t", "d0")) == d0_mtime
+    assert st.read("t").count() == 15
+    assert set(r["id"] for r in st.read("t").collect()) == set(range(15))
+
+
+def test_append_chain_and_compaction(spark, tmp_path):
+    st = _mk(spark, tmp_path, compact_threshold=4)
+    st.commit("t", spark.range(2).selectExpr("id"))
+    for i in range(1, 6):
+        st.append("t", spark.range(2 * i, 2 * i + 2).selectExpr("id"))
+        assert st.read("t").count() == 2 * (i + 1)
+    # threshold=4 → at most 4 dirs in any manifest; a compaction happened
+    assert len(_dirs(st, "t")) <= 4
+    assert set(r["id"] for r in st.read("t").collect()) == set(range(12))
+
+
+def test_rollback_restores_old_union(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.commit("t", spark.range(3).selectExpr("id"))
+    st.append("t", spark.range(3, 6).selectExpr("id"))
+    v_after_first_append = st.current_version("t")
+    st.append("t", spark.range(6, 9).selectExpr("id"))
+    assert st.read("t").count() == 9
+    st.rollback("t", v_after_first_append)
+    assert st.read("t").count() == 6
+    # appending after rollback branches cleanly
+    st.append("t", spark.range(100, 102).selectExpr("id"))
+    assert set(r["id"] for r in st.read("t").collect()) == set(range(6)) | {100, 101}
+
+
+def test_vacuum_keeps_shared_delta_dirs(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.commit("t", spark.range(2).selectExpr("id"))        # v0: [d0]
+    for i in range(1, 5):                                   # v1..v4 deltas
+        st.append("t", spark.range(2 * i, 2 * i + 2).selectExpr("id"))
+    st.vacuum("t", keep=2)                                  # keeps v3, v4
+    # d0 is still referenced by the kept manifests (shared delta base)
+    assert os.path.isdir(os.path.join(st.warehouse, "t", "d0"))
+    assert st.read("t").count() == 10
+    # old manifests are gone
+    assert not os.path.exists(os.path.join(st.warehouse, "t", "m0.json"))
