@@ -26,6 +26,7 @@ from loong_spark.text.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_near_duplicates,
 )
 from loong_spark.text.quality import (
     LANG_MARKERS,
@@ -317,6 +318,14 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash"))
 
 
+def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-k simhash near-dup via pigeonhole block join (recall 1.0,
+    so the quadratic all-pairs SQL is an EXACT oracle — the engine never
+    runs all-pairs, the oracle may)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, bits=16, max_hamming=3)
+
+
 def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
@@ -355,8 +364,12 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: multi-table LSH candidates + exact cosine verify.
+    Oracle is the exact all-pairs SQL — the verify step keeps precision
+    at 1.0, and multi-probe recall (pytest-bounded ≥ 0.9) covers the
+    qualifying pairs at this threshold/corpus."""
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(e, threshold=0.9)
+    return cosine_near_dup_pairs(e, threshold=0.9, dim=64)
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,6 +398,72 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         path.alias("path"),
         robots_allowed(path, disallow, allow).alias("allowed"),
+    )
+
+
+def q_etl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 ETL lifecycle (loong_spark.loader): regex-filtered driving
+    scan (S8) → object_id left join with left-biased merge (J1+P12) →
+    INI-style column map (P13) → MERGE upsert keyed on index (J2).
+    Mirrors /root/reference/lib/Loong/Loader.pm:39-103 set-oriented."""
+    from loong_spark.loader import TableMapping, load_table, upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("http://shop.example/order/"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderdate").alias("odate"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("VIP")).alias("segment"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    m = TableMapping(
+        name="order_export",
+        columns={
+            "custkey": "custkey", "order_id": "order_id", "order_url": "url",
+            "cust_name": "cust_name", "segment": "segment",
+            "price_c": "price_c", "odate": "odate",
+        },
+        index=["custkey"],
+        source=["orders_x", "customers_x"],
+        object_id=["custkey"],
+        pattern="/order/[0-9]*[02468]$",
+    )
+    batch = load_table({"orders_x": o, "customers_x": c}, m)
+    return upsert(None, batch, ["custkey"], ["odate", "order_id"]).drop("odate")
+
+
+def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 route-callback parse as a driver-checkable query: render a
+    deterministic HTML body per document (pure SQL concat — hex token,
+    img, link), then run the REAL Arrow-batched mapInPandas parser
+    (rules.parse_pages → parse_core.parse_html) and emit its span rows.
+    The oracle reproduces the expected spans in SQL, so this checks the
+    parser's extraction order/offsets exactly."""
+    from loong_spark.rules import parse_pages
+
+    d = _t(spark, sf_dir, "documents")
+    tok = F.substring(F.md5(F.col("text")), 1, 12)
+    body = F.concat(
+        F.lit("<p>"), tok, F.lit("</p>"),
+        F.lit('<img src="img://'), F.col("doc_id").cast("string"), F.lit('.jpg">'),
+        F.lit('<a href="/next/'), F.col("doc_id").cast("string"), F.lit('">x</a>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    return (
+        parse_pages(pages)
+        .filter(F.col("out_kind") == "span")
+        .select(
+            "url", "kind", "text", "media_ref",
+            F.col("offset").cast("int").alias("span_offset"),
+        )
     )
 
 
@@ -443,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_signature": q_docs_minhash_signature,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
+        "docs_simhash_neardup": q_docs_simhash_neardup,
         "docs_lang_id": q_docs_lang_id,
         "docs_token_count": q_docs_token_count,
         "docs_quality": q_docs_quality,
@@ -452,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
         "robots_filter": q_robots_filter,
+        "parse_spans": q_parse_spans,
+        "etl_export": q_etl_export,
         "mm_image_features": q_mm_image_features,
         "mm_video_frames": q_mm_video_frames,
         "mm_resize_meta": q_mm_resize_meta,
@@ -712,6 +794,12 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
             WHERE j.jaccard >= 0.2""",
         "docs_simhash": _sql_simhash(16),
+        "docs_simhash_neardup": f"""
+            WITH sims AS ({_sql_simhash(16)})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "docs_lang_id": _sql_lang_id(),
         "docs_token_count": f"""
             SELECT doc_id,
@@ -778,6 +866,44 @@ def oracle_sql() -> dict[str, str]:
                   r -> length(r))), -1)
               AS allowed
             FROM p""",
+        "etl_export": """
+            WITH o1 AS (
+              SELECT 'http://shop.example/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+                     o_orderkey AS order_id, o_custkey AS custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                     o_orderdate AS odate,
+                     CASE WHEN o_orderkey % 3 = 0 THEN 'VIP' END AS segment
+              FROM orders
+            ),
+            ox AS (SELECT * FROM o1 WHERE regexp_matches(url, '/order/[0-9]*[02468]$')),
+            cx AS (SELECT c_custkey AS custkey, c_name AS cust_name,
+                          c_mktsegment AS rsegment FROM customer),
+            merged AS (
+              SELECT ox.custkey, ox.order_id, ox.url AS order_url, cx.cust_name,
+                     coalesce(ox.segment, cx.rsegment) AS segment,
+                     ox.price_c, ox.odate
+              FROM ox LEFT JOIN cx USING (custkey)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY custkey
+                                           ORDER BY odate DESC, order_id DESC) AS rn
+              FROM merged
+            )
+            SELECT custkey, order_id, order_url, cust_name, segment, price_c
+            FROM ranked WHERE rn = 1""",
+        "parse_spans": """
+            WITH p AS (
+              SELECT 'http://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                     substr(md5(text), 1, 12) AS tok,
+                     CAST(doc_id AS VARCHAR) AS id
+              FROM documents
+            )
+            SELECT url, 'text' AS kind, tok AS text, '' AS media_ref,
+                   CAST(0 AS INT) AS span_offset FROM p
+            UNION ALL
+            SELECT url, 'media' AS kind, '' AS text,
+                   'img://' || id || '.jpg' AS media_ref,
+                   CAST(1 AS INT) AS span_offset FROM p""",
         "mm_image_features": """
             WITH media AS (
               SELECT md5('img://' || source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,

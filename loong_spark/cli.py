@@ -40,10 +40,21 @@ def cmd_crawl(args) -> int:
 
     if pipe.load_checkpoint() is None:
         if args.demo:
-            from loong_spark.gen import GraphParams, graph_rows_for_spark, politeness_of, seeds_of
+            from loong_spark.gen import (
+                GraphParams,
+                graph_rows_for_spark,
+                graph_rows_html_for_spark,
+                politeness_of,
+                seeds_of,
+            )
 
             p = GraphParams(n_pages=args.demo_pages)
-            graph = spark.createDataFrame(graph_rows_for_spark(p), schemas.WEB_GRAPH)
+            if args.parse:  # raw-HTML bodies → production decode+parse path
+                graph = spark.createDataFrame(
+                    graph_rows_html_for_spark(p), schemas.WEB_GRAPH_HTML
+                )
+            else:
+                graph = spark.createDataFrame(graph_rows_for_spark(p), schemas.WEB_GRAPH)
             politeness = list(politeness_of(p).values())
             seeds = seeds_of(p)
         else:
@@ -97,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--demo", action="store_true", help="synthetic fixture graph")
     c.add_argument("--demo-pages", type=int, default=300)
+    c.add_argument(
+        "--parse", action="store_true",
+        help="demo graph carries raw HTML bytes → run the decode+parse path",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("resume", help="resume from checkpoint (no bootstrap)")

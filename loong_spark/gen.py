@@ -18,11 +18,17 @@ from functools import lru_cache
 
 from .canon_core import url_md5
 from .config import HostPolicy
+from .parse_core import render_body
 
 _WORDS = (
     "frontier crawl host queue seed fetch parse link span media page "
     "politeness robots depth priority shard bloom hash batch commit"
 ).split()
+
+#: charset-specific vocabulary so non-utf8 pages contain bytes that
+#: actually differ between encodings (exercises the P4 sniff+decode)
+_WORDS_GBK = "爬虫 队列 页面 链接 主机 优先级".split()
+_WORDS_LATIN1 = "café zürich señor naïve élan".split()
 
 
 def _h(*parts) -> int:
@@ -97,14 +103,53 @@ def page_status(p: GraphParams, pid: int) -> int:
     return 500
 
 
+def page_charset(p: GraphParams, pid: int) -> tuple[str, str]:
+    """(charset, declare) per page. Mostly utf-8; a gbk / latin-1
+    minority exercises the P4 sniff (SURVEY.md §2.3 P4). Non-utf8 pages
+    always declare their charset ('header' = Content-Type param,
+    'meta' = <meta charset> tag); utf-8 pages sometimes declare nothing
+    (the sniff's fallback)."""
+    if pid < p.n_hosts:
+        return "utf-8", "none"
+    r = _h(p.seed, "charset", pid) % 10
+    cs = "gbk" if r == 8 else ("latin-1" if r == 9 else "utf-8")
+    d = _h(p.seed, "csdecl", pid) % 2
+    if cs == "utf-8":
+        return cs, ("none", "header")[d]
+    return cs, ("header", "meta")[d]
+
+
 def page_content_type(p: GraphParams, pid: int) -> str:
     if pid >= p.n_hosts and _h(p.seed, "ctype", pid) % 100 < 3:
         return "image/jpeg"
+    cs, declare = page_charset(p, pid)
+    if declare == "header":
+        return f"text/html; charset={cs}"
     return "text/html"
 
 
+def page_empty_kind(p: GraphParams, pid: int) -> str:
+    """'' (normal) | 'body' (F3: zero-byte body) | 'parse' (F7: body
+    parses to zero data spans). Both are non-retry failures
+    (/root/reference/lib/Loong/Crawler.pm:238-251)."""
+    if pid < p.n_hosts or not page_content_type(p, pid).startswith("text/html"):
+        return ""
+    r = _h(p.seed, "empty", pid) % 100
+    if r < 2:
+        return "body"
+    if r < 4:
+        return "parse"
+    return ""
+
+
 def page_spans(p: GraphParams, pid: int) -> list[dict]:
-    """Interleaved text+media span sequence (kind, text, media_ref, offset)."""
+    """Interleaved text+media span sequence (kind, text, media_ref, offset).
+    Non-utf8 pages mix in charset-specific words so the decode path is
+    actually load-bearing. Empty pages (F3/F7) have no spans."""
+    if page_empty_kind(p, pid):
+        return []
+    cs, _ = page_charset(p, pid)
+    extra = {"gbk": _WORDS_GBK, "latin-1": _WORDS_LATIN1}.get(cs)
     n = 1 + _h(p.seed, "nspans", pid) % 6
     spans = []
     for i in range(n):
@@ -119,6 +164,8 @@ def page_spans(p: GraphParams, pid: int) -> list[dict]:
             )
         else:
             w = [_WORDS[_h(p.seed, "w", pid, i, j) % len(_WORDS)] for j in range(3 + i % 4)]
+            if extra is not None:
+                w.append(extra[_h(p.seed, "xw", pid, i) % len(extra)])
             spans.append({"kind": "text", "text": " ".join(w), "media_ref": "", "offset": i})
     return spans
 
@@ -155,6 +202,8 @@ def _render_href(p: GraphParams, src_pid: int, dst_pid: int, k: int) -> str:
 def page_out_links(p: GraphParams, pid: int) -> list[str]:
     """Raw hrefs. Includes deliberate duplicates (dedup pressure mirroring
     t/filter.t:5-12) and junk schemes (dropped by canonicalization)."""
+    if page_empty_kind(p, pid) == "body":
+        return []  # F3: a zero-byte body has no links either
     n = _h(p.seed, "nlinks", pid) % (p.max_links + 1)
     if pid < p.n_hosts:
         n = max(n, 3)  # roots always link out so crawls go somewhere
@@ -174,6 +223,18 @@ def page_out_links(p: GraphParams, pid: int) -> list[str]:
         targets.append(dst)
         hrefs.append(_render_href(p, pid, dst, k))
     return hrefs
+
+
+def page_body(p: GraphParams, pid: int) -> bytes:
+    """Raw page bytes for the parse-mode graph: spans+links rendered to
+    HTML and encoded in the page's charset (parse_core.render_body).
+    Non-html pages get opaque bytes (never parsed — F2 gate)."""
+    if not page_content_type(p, pid).startswith("text/html"):
+        return b"\xff\xd8\xfe" + str(pid).encode()
+    if page_empty_kind(p, pid) == "body":
+        return b""  # F3 fixture: 200 OK, text/html, no content
+    cs, declare = page_charset(p, pid)
+    return render_body(page_spans(p, pid), page_out_links(p, pid), cs, declare)
 
 
 def gen_page(p: GraphParams, pid: int) -> dict:
@@ -232,3 +293,23 @@ SKEWED = GraphParams(n_hosts=20, n_pages=10000, n_seeds=5, zipf_s=1.5)
 def graph_rows_for_spark(p: GraphParams) -> list[dict]:
     """Materialize the graph as rows matching schemas.WEB_GRAPH."""
     return list(build_graph(p).values())
+
+
+def graph_rows_html_for_spark(p: GraphParams) -> list[dict]:
+    """Materialize the graph as rows matching schemas.WEB_GRAPH_HTML —
+    raw charset-encoded BYTES bodies instead of pre-parsed spans/links
+    (the pipeline's parse mode decodes + parses them back)."""
+    out = []
+    for pid in range(p.n_pages):
+        url = page_url(p, pid)
+        out.append(
+            {
+                "url": url,
+                "url_hash": url_md5(url),
+                "host": f"h{host_of(p, pid)}.example",
+                "status": page_status(p, pid),
+                "content_type": page_content_type(p, pid),
+                "body": page_body(p, pid),
+            }
+        )
+    return out

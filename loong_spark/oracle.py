@@ -85,6 +85,7 @@ class Oracle:
         self.res = OracleResult()
         self._batch_deduped = 0
         self._batch_robots = 0
+        self._batch_empty = 0
 
     # -- enqueue path (O5/F1 + O7 + robots) --------------------------------
     def _enqueue(self, url: str, depth: int, parent: str | None, batch: int) -> None:
@@ -127,6 +128,7 @@ class Oracle:
     def run_batch(self, batch_id: int) -> dict:
         self._batch_deduped = 0
         self._batch_robots = 0
+        self._batch_empty = 0
         eligible = [
             e for e in self.queued
             if self.host_next_eligible.get(e.host, 0) <= batch_id
@@ -158,8 +160,15 @@ class Oracle:
                 self._requeue_failed(e, batch_id)
                 continue
             e.state = "fetched"
-            if page["content_type"] != "text/html":
+            if not page["content_type"].startswith("text/html"):
                 continue  # F2 content gate: fetched, not parsed
+            if len(page["body_spans"]) == 0:
+                # F3 empty body / F7 scraped-empty: non-retry failure,
+                # no doc, links NOT followed (the reference croaks
+                # before continue_with_scraped, Crawler.pm:238-251)
+                e.state = "failed_empty"
+                self._batch_empty += 1
+                continue
             doc_id = e.url_hash
             self.res.docs[doc_id] = page["body_spans"]
             docs_written += 1
@@ -184,6 +193,7 @@ class Oracle:
             "docs_written": docs_written,
             "links_discovered": links,
             "failed": failed,
+            "empty_failed": self._batch_empty,
             "frontier_size": len(self.queued),
         }
         self.res.metrics.append(m)

@@ -39,6 +39,7 @@ from .bloom import BloomFilterManager
 from .canon import canonicalize_df, host_col, path_col, url_hash_col
 from .config import CrawlConfig, HostPolicy
 from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
+from .rules import links_of, parse_pages_bytes, spans_of
 from .store import SnapshotStore
 
 HOST_STATE = T.StructType(
@@ -327,60 +328,100 @@ class CrawlPipeline:
         )
 
         if n_sched == 0:
-            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, frontier_size=queued.count())
+            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, 0, frontier_size=queued.count())
             self._write_checkpoint(batch_id)
             return m
 
         # -- fetch (S4): broadcast the small scheduled side into the scan;
-        # docs/failed counts ride the commit action as observed metrics
-        graph = st.read("web_graph", schemas.WEB_GRAPH)
-        is_doc = (F.col("status") == 200) & (F.col("content_type") == "text/html")
+        # docs/failed counts ride the commit action as observed metrics.
+        # parse mode (web_graph carries raw `body` bytes) runs the
+        # production fetch→decode→parse path; span mode joins pre-parsed
+        # spans/links (the fetch SIMULATOR shape).
+        graph = st.read("web_graph")
+        parse_mode = "body" in graph.columns
+        page_cols = ["body"] if parse_mode else ["body_spans", "out_links"]
+        is_html = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
         is_failed = F.col("status").isNull() | (F.col("status") != 200)
         obs_fetch = Observation()
         fetched = (
             F.broadcast(sched)
-            .join(
-                graph.select("url", "status", "content_type", "body_spans", "out_links"),
-                "url",
-                "left",
-            )
+            .join(graph.select("url", "status", "content_type", *page_cols), "url", "left")
             .observe(
                 obs_fetch,
-                F.coalesce(F.sum(F.when(is_doc, 1).otherwise(0)), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum(F.when(is_html, 1).otherwise(0)), F.lit(0)).alias("n_html"),
                 F.coalesce(F.sum(F.when(is_failed, 1).otherwise(0)), F.lit(0)).alias("n_failed"),
             )
         )
         st.commit("_work_fetched", fetched)
-        fvals = obs_vals(obs_fetch, n_docs=0, n_failed=0)
-        n_docs, n_failed = fvals["n_docs"], fvals["n_failed"]
+        fvals = obs_vals(obs_fetch, n_html=0, n_failed=0)
+        n_html, n_failed = fvals["n_html"], fvals["n_failed"]
         fetched = st.read("_work_fetched")
 
         ok = fetched.filter(F.col("status") == 200)
-        html = ok.filter(F.col("content_type") == "text/html")  # F2 gate
+        html = ok.filter(F.col("content_type").startswith("text/html"))  # F2 gate
         failed = fetched.filter(F.col("status").isNull() | (F.col("status") != 200))
 
-        # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1)
-        docs_new = html.select(
-            F.col("url_hash").alias("doc_id"),
-            F.col("body_spans").alias("spans"),
-            "url", "host", "parent",
-            F.lit(batch_id).cast("long").alias("fetched_batch"),
-        )
-        st.append("docs", docs_new, schemas.DOCS)
-
-        # -- links (O6): explode + canonicalize (P1) ----------------------
-        links = (
-            canonicalize_df(
-                html.select(
-                    F.col("url").alias("parent"),
-                    F.col("rank").alias("parent_rank"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.posexplode("out_links").alias("link_idx", "href"),
-                ),
-                base_col="parent",
-                href_col="href",
-                out_col="url",
+        # F3/F7: empty-body / scraped-empty pages are non-retry failures —
+        # no doc, links NOT followed (Crawler.pm:238-251). In span mode
+        # emptiness is size(body_spans)==0; in parse mode it falls out of
+        # the inner join with the parser's span output.
+        if parse_mode:
+            # U1/U2 production path: decode (P4 charset sniff) + parse via
+            # one Arrow-batched mapInPandas, then re-join page metadata.
+            # Materialized once — spans_of and links_of both consume it.
+            parsed = parse_pages_bytes(html.select("url", "body", "content_type"))
+            st.commit("_work_parsed", parsed)
+            parsed = st.read("_work_parsed")
+            docs_new = (
+                html.select("url", "url_hash", "host", "parent")
+                .join(spans_of(parsed), "url")  # inner: 0-span pages fail out
+                .select(
+                    F.col("url_hash").alias("doc_id"),
+                    "spans", "url", "host", "parent",
+                    F.lit(batch_id).cast("long").alias("fetched_batch"),
+                )
             )
+            raw_links = (
+                links_of(parsed)
+                .join(
+                    html.select(
+                        F.col("url").alias("parent"),
+                        F.col("rank").alias("parent_rank"),
+                        (F.col("depth") + 1).alias("depth"),
+                    ),
+                    "parent",
+                )
+                # drop links found on scraped-empty pages (F7 croaks first)
+                .join(
+                    spans_of(parsed).select(F.col("url").alias("parent")),
+                    "parent",
+                    "semi",
+                )
+            )
+        else:
+            html_ok = html.filter(F.size("body_spans") > 0)
+            docs_new = html_ok.select(
+                F.col("url_hash").alias("doc_id"),
+                F.col("body_spans").alias("spans"),
+                "url", "host", "parent",
+                F.lit(batch_id).cast("long").alias("fetched_batch"),
+            )
+            raw_links = html_ok.select(
+                F.col("url").alias("parent"),
+                F.col("rank").alias("parent_rank"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("out_links").alias("link_idx", "href"),
+            )
+
+        # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1)
+        obs_docs = Observation()
+        st.append("docs", docs_new.observe(obs_docs, F.count(F.lit(1)).alias("n")), schemas.DOCS)
+        n_docs = obs_vals(obs_docs, n=0)["n"]
+        n_empty = n_html - n_docs
+
+        # -- links (O6): canonicalize (P1) --------------------------------
+        links = (
+            canonicalize_df(raw_links, base_col="parent", href_col="href", out_col="url")
             .filter(F.col("url") != "")
             .select(
                 "url",
@@ -458,7 +499,7 @@ class CrawlPipeline:
         )
 
         m = self._metrics_row(
-            batch_id, n_sched, n_deduped, n_docs, n_links, n_failed,
+            batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
             frontier_size=frontier_size,
         )
         self._write_checkpoint(batch_id)
@@ -467,9 +508,9 @@ class CrawlPipeline:
         return m
 
     def _metrics_row(
-        self, batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, frontier_size
+        self, batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
+        frontier_size,
     ) -> dict:
-        qn = frontier_size
         m = {
             "batch_id": batch_id,
             "urls_scheduled": n_sched,
@@ -477,7 +518,8 @@ class CrawlPipeline:
             "docs_written": n_docs,
             "links_discovered": n_links,
             "failed": n_failed,
-            "frontier_size": qn,
+            "empty_failed": n_empty,
+            "frontier_size": frontier_size,
         }
         self.store.append(
             "metrics",

@@ -21,7 +21,6 @@ plumbing — schema, batching, explode shape — is the real, tested part).
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -29,6 +28,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .parse_core import decode_body, parse_html as _parse_html, render_html  # noqa: F401
+# (_parse_html / render_html re-exported: the pure core lives in
+# parse_core so the oracle/tests can import it without pyspark)
 
 
 @dataclass(frozen=True)
@@ -64,38 +67,6 @@ PARSED = T.StructType(
     ]
 )
 
-_TAG = re.compile(r"<img[^>]*src=[\"']([^\"']+)[\"'][^>]*>|<a[^>]*href=[\"']([^\"']+)[\"'][^>]*>|<p>([^<]*)</p>")
-
-
-def _parse_html(url: str, body: str) -> list[dict]:
-    """Deterministic HTML → interleaved spans + links. <p> → text span,
-    <img src> → media span (document order = offset), <a href> → link."""
-    out: list[dict] = []
-    offset = 0
-    link_idx = 0
-    for m in _TAG.finditer(body or ""):
-        img, href, text = m.group(1), m.group(2), m.group(3)
-        if img is not None:
-            out.append(
-                dict(url=url, out_kind="span", kind="media", text="", media_ref=img,
-                     offset=offset, href=None, link_idx=None)
-            )
-            offset += 1
-        elif href is not None:
-            out.append(
-                dict(url=url, out_kind="link", kind=None, text=None, media_ref=None,
-                     offset=None, href=href, link_idx=link_idx)
-            )
-            link_idx += 1
-        elif text is not None and text.strip():
-            out.append(
-                dict(url=url, out_kind="span", kind="text", text=text.strip(), media_ref="",
-                     offset=offset, href=None, link_idx=None)
-            )
-            offset += 1
-    return out
-
-
 def parse_pages(pages: DataFrame, url_col: str = "url", body_col: str = "body") -> DataFrame:
     """mapInPandas page parser: (url, body html) → exploded spans+links.
     Arrow-batched; each input batch yields one output frame (no per-row
@@ -108,6 +79,31 @@ def parse_pages(pages: DataFrame, url_col: str = "url", body_col: str = "body") 
             rows: list[dict] = []
             for u, b in zip(pdf[url_col], pdf[body_col]):
                 rows.extend(_parse_html(u, b))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return pages.mapInPandas(fn, schema=PARSED)
+
+
+def parse_pages_bytes(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    ctype_col: str = "content_type",
+) -> DataFrame:
+    """Production-shaped parse stage: (url, body BYTES, content_type) →
+    exploded spans+links. Charset is resolved per page inside the same
+    Arrow batch (P4: header param → meta/css scan → utf-8 fallback,
+    parse_core.sniff_charset — /root/reference/lib/Loong/Scraper.pm:102-157),
+    then decode → parse. One mapInPandas, no per-row Python UDFs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PARSED.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for u, b, ct in zip(pdf[url_col], pdf[body_col], pdf[ctype_col]):
+                rows.extend(_parse_html(u, decode_body(ct, b)))
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in cols}
             )
@@ -137,20 +133,6 @@ def links_of(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("out_kind") == "link").select(
         F.col("url").alias("parent"), "href", "link_idx"
     )
-
-
-def render_html(spans: list[dict], links: list[str]) -> str:
-    """Inverse of _parse_html — used by tests to round-trip the corpus
-    through the production parse path."""
-    parts = []
-    for s in sorted(spans, key=lambda s: s["offset"]):
-        if s["kind"] == "media":
-            parts.append(f'<img src="{s["media_ref"]}">')
-        else:
-            parts.append(f"<p>{s['text']}</p>")
-    for h in links:
-        parts.append(f'<a href="{h}">x</a>')
-    return "".join(parts)
 
 
 # -- production HTTP fetch stub (S4 prod path) ------------------------------

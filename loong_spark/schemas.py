@@ -34,6 +34,20 @@ WEB_GRAPH = T.StructType(
     ]
 )
 
+#: parse-mode variant of the crawlable web: raw charset-encoded BYTES
+#: bodies; the pipeline runs the production fetch→decode→parse path
+#: (rules.parse_pages_bytes) instead of reading pre-parsed spans
+WEB_GRAPH_HTML = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("body", T.BinaryType(), False),
+    ]
+)
+
 #: URL frontier — the Minion-queue analogue
 #: (/root/reference/lib/Loong/Crawler.pm:37, :89-105)
 FRONTIER = T.StructType(
@@ -103,6 +117,7 @@ METRICS = T.StructType(
         T.StructField("docs_written", T.LongType(), False),
         T.StructField("links_discovered", T.LongType(), False),
         T.StructField("failed", T.LongType(), False),
+        T.StructField("empty_failed", T.LongType(), False),
         T.StructField("frontier_size", T.LongType(), False),
     ]
 )

@@ -33,9 +33,17 @@ def normalized_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_members: int = 1000,
+) -> DataFrame:
     """Groups of byte-identical (normalized) docs: (content_hash,
-    group_size, keeper_id, member_ids). Keeper = min id (deterministic)."""
+    group_size, keeper_id, member_ids). Keeper = min id (deterministic).
+
+    ``member_ids`` is capped at ``max_members`` (smallest ids kept):
+    at corpus scale one boilerplate page can appear 10^7 times and an
+    unbounded collect_list of that group OOMs its reduce task.
+    ``group_size`` always reflects the TRUE count."""
     return (
         docs.select(F.col(id_col).alias("doc_id"), normalized_text(F.col(text_col)).alias("_t"))
         .withColumn("content_hash", F.md5("_t"))
@@ -43,7 +51,7 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .agg(
             F.count("*").alias("group_size"),
             F.min("doc_id").alias("keeper_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_members).alias("member_ids"),
         )
         .filter(F.col("group_size") > 1)
     )
@@ -200,12 +208,73 @@ def simhash_col(text_col, bits: int = 16):
     return out
 
 
-def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within hamming distance ``max_hamming`` of the
+    ``bits``-bit simhash, via the pigeonhole block trick: split the
+    fingerprint into max_hamming+1 blocks — any pair within distance k
+    differs in ≤ k blocks, so it matches EXACTLY on at least one block.
+    Candidates equi-join on (block_id, block_value) — never an all-pairs
+    scan — then the exact hamming distance (bit_count of xor, JVM-side)
+    verifies, so precision = 1.0 and recall = 1.0 (the pigeonhole bound
+    is exhaustive, unlike probabilistic LSH).
+
+    Scale: shuffle is (block_id, block_val, doc_id, simhash) ≈ 28 B/doc
+    × (k+1) blocks; candidate volume is governed by block width
+    (bits/(k+1)) — widen ``bits`` before raising ``max_hamming``."""
+    n_blocks = max_hamming + 1
+    base = bits // n_blocks
+    rem = bits % n_blocks  # first `rem` blocks get one extra bit
+    s = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), bits).alias("simhash")
+    )
+    blocks = []
+    off = 0
+    for b in range(n_blocks):
+        w = base + (1 if b < rem else 0)
+        blocks.append(
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1)).alias("block_val"),
+            )
+        )
+        off += w
+    blocked = s.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    x, y = blocked.alias("x"), blocked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.block_id") == F.col("y.block_id"))
+            & (F.col("x.block_val") == F.col("y.block_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()  # a close pair matches several blocks; emit once
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_members: int = 1000,
+) -> DataFrame:
     """Docs sharing an identical 16-bit simhash bucket (hamming-0 match;
-    multi-probe/hamming-k is a bucket-rotation extension)."""
+    see simhash_near_duplicates for hamming-k probing). member_ids capped
+    at ``max_members`` like exact_duplicates; group_size stays exact."""
     s = docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
     return (
         s.groupBy("simhash")
-        .agg(F.count("*").alias("group_size"), F.sort_array(F.collect_list("doc_id")).alias("member_ids"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_members).alias("member_ids"),
+        )
         .filter(F.col("group_size") > 1)
     )

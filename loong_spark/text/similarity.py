@@ -104,36 +104,56 @@ def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> 
     return bucket
 
 
+def lsh_probes_col(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42) -> Column:
+    """array<struct<table:int, bucket:int>> — one sign-bucket per hash
+    table (independent hyperplane sets). Exploding this and equi-joining
+    on (table, bucket) gives multi-table LSH in ONE shuffle instead of
+    n_tables unions; per-pair recall = 1-(1-p^n_planes)^n_tables where p
+    is the per-plane collision probability (≈ 1-θ/π)."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            lsh_bucket_col(vec, dim, n_planes, seed + 7919 * t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine re-rank within the bucket. At 100 TB the bucket join is
-    a co-partitioned equi-join on bucket id (≈ corpus/2^n_planes rows per
-    bucket) instead of a full cross join."""
+    """Approximate top-k: candidates share ANY of the query's n_tables
+    LSH buckets (multi-table probing — single-table single-probe recall
+    collapses at corpus scale), then exact cosine re-rank over the
+    distinct candidates. At 100 TB the probe join is a co-partitioned
+    equi-join on (table, bucket) — candidate rows per query ≈
+    n_tables × corpus / 2^n_planes — instead of a full cross join; the
+    distinct() dedups vectors colliding in several tables BEFORE the
+    (expensive) cosine, so each candidate is scored once."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        lsh_bucket_col(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
-    )
+        F.explode(lsh_probes_col(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("probe"),
+    ).select("vec_id", "_v", "probe.table", "probe.bucket")
     q = F.broadcast(
         queries.select(
             F.col(qid_col).alias("query_id"),
             F.col(qvec_col).alias("_qv"),
-            lsh_bucket_col(F.col(qvec_col), dim, n_planes, seed).alias("bucket"),
-        )
+            F.explode(lsh_probes_col(F.col(qvec_col), dim, n_planes, n_tables, seed)).alias("probe"),
+        ).select("query_id", "_qv", "probe.table", "probe.bucket")
     )
-    joined = v.join(q, "bucket")
-    scored = joined.select(
+    cand = v.join(q, ["table", "bucket"]).select("query_id", "vec_id", "_v", "_qv").distinct()
+    scored = cand.select(
         "query_id", "vec_id",
         F.round(cosine_col(F.col("_v").cast("array<double>"), F.col("_qv").cast("array<double>")), 6).alias("cosine"),
     )
@@ -148,29 +168,58 @@ def ann_topk(
 def cosine_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: int | None = None, n_planes: int = 6, seed: int = 42,
-    exact: bool = True,
+    dim: int | None = None, n_planes: int = 6, n_tables: int = 4,
+    seed: int = 42, exact: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ threshold). exact=True →
-    full self-join (oracle-checkable); exact=False → LSH-bucketed."""
+    """Embedding near-duplicate pairs (cosine ≥ threshold).
+
+    Default (exact=False) is the scale path: multi-table LSH candidate
+    generation — pairs collide iff they share a sign-bucket in ANY of
+    n_tables independent hyperplane sets — followed by the exact cosine
+    computed per candidate pair. The threshold filter IS the exact
+    verify, so precision = 1.0 by construction; multi-table probing
+    keeps recall high (per-pair ≈ 1-(1-p^n_planes)^n_tables,
+    pytest-bounded ≥ 0.9 vs brute force in tests/test_text_ops.py).
+    The candidate join is an equi-join on (table, bucket) — never the
+    O(n²) self-join.
+
+    exact=True keeps the full self-join as the small-scale oracle flag
+    (requires no dim; quadratic — never use at corpus scale)."""
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     if not exact:
-        assert dim is not None
-        v = v.withColumn("bucket", lsh_bucket_col(F.col("_v"), dim, n_planes, seed))
-        a = v.alias("a")
-        b = v.alias("b")
-        pairs = a.join(
-            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        if dim is None:
+            raise ValueError("dim is required for the LSH path (exact=False)")
+        probed = v.select(
+            "vec_id", "_v",
+            F.explode(lsh_probes_col(F.col("_v"), dim, n_planes, n_tables, seed)).alias("probe"),
+        ).select("vec_id", "_v", "probe.table", "probe.bucket")
+        a, b = probed.alias("a"), probed.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            # one cosine per pair even when it collides in several tables
+            .select(
+                F.col("a.vec_id").alias("vec_a"), F.col("a._v").alias("_va"),
+                F.col("b.vec_id").alias("vec_b"), F.col("b._v").alias("_vb"),
+            )
+            .distinct()
         )
     else:
         a, b = v.alias("a"), v.alias("b")
-        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("vec_a"), F.col("a._v").alias("_va"),
+            F.col("b.vec_id").alias("vec_b"), F.col("b._v").alias("_vb"),
+        )
     return (
         pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_a",
+            "vec_b",
             F.round(
-                cosine_col(F.col("a._v").cast("array<double>"), F.col("b._v").cast("array<double>")),
+                cosine_col(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
                 6,
             ).alias("cosine"),
         )

@@ -11,7 +11,14 @@ from pyspark.sql import functions as F
 from loong_spark import schemas
 from loong_spark.compare import assert_matches_oracle
 from loong_spark.config import CrawlConfig
-from loong_spark.gen import TINY, GraphParams, graph_rows_for_spark, politeness_of, seeds_of
+from loong_spark.gen import (
+    TINY,
+    GraphParams,
+    graph_rows_for_spark,
+    graph_rows_html_for_spark,
+    politeness_of,
+    seeds_of,
+)
 from loong_spark.oracle import run_oracle
 from loong_spark.pipeline import CrawlPipeline
 
@@ -42,6 +49,33 @@ def test_tiny_full_crawl_matches_oracle(spark, warehouse, use_bloom, bloom_mode)
     cfg = CrawlConfig(global_budget=20, use_bloom=use_bloom, n_shards=4, bloom_mode=bloom_mode)
     golden = run_oracle(TINY, cfg)
     pipe = make_pipeline(spark, warehouse + str(use_bloom) + bloom_mode, TINY, cfg)
+    metrics = pipe.run()
+    assert len(metrics) == len(golden.metrics)
+    assert_matches_oracle(pipe, golden)
+
+
+def make_pipeline_html(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> CrawlPipeline:
+    """Parse-mode pipeline: the graph carries raw charset-encoded BYTES
+    bodies; the pipeline must decode (P4) + parse (U1) them back."""
+    pipe = CrawlPipeline(spark, warehouse, cfg)
+    graph_df = spark.createDataFrame(
+        [
+            (r["url"], r["url_hash"], r["host"], r["status"], r["content_type"], r["body"])
+            for r in graph_rows_html_for_spark(params)
+        ],
+        schemas.WEB_GRAPH_HTML,
+    )
+    pipe.bootstrap(graph_df, list(politeness_of(params).values()), seeds_of(params))
+    return pipe
+
+
+def test_parse_mode_matches_oracle(spark, warehouse):
+    """Production fetch→decode→parse path produces EXACTLY the same
+    crawl order / seen set / span sequences / metrics as the span-join
+    simulator and the oracle — U1/U2 wired into the pipeline."""
+    cfg = CrawlConfig(global_budget=20, use_bloom=True, n_shards=4)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline_html(spark, warehouse, TINY, cfg)
     metrics = pipe.run()
     assert len(metrics) == len(golden.metrics)
     assert_matches_oracle(pipe, golden)

@@ -10,7 +10,9 @@ from loong_spark.text.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_col,
     simhash_duplicates,
+    simhash_near_duplicates,
 )
 from loong_spark.text.multimodal import (
     extract_image_features,
@@ -137,8 +139,98 @@ def test_cosine_near_dup(spark):
         [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
         "vec_id int, embedding array<float>",
     )
-    pairs = cosine_near_dup_pairs(vecs, threshold=0.99).collect()
+    # exact oracle flag
+    pairs = cosine_near_dup_pairs(vecs, threshold=0.99, exact=True).collect()
     assert len(pairs) == 1 and (pairs[0]["vec_a"], pairs[0]["vec_b"]) == (1, 2)
+    # default (LSH) path finds the same pair here — near-identical vectors
+    # land in the same sign-bucket of every table
+    lsh = cosine_near_dup_pairs(vecs, threshold=0.99, dim=2).collect()
+    assert len(lsh) == 1 and (lsh[0]["vec_a"], lsh[0]["vec_b"]) == (1, 2)
+
+
+def _clustered_vectors(n_base: int, dups_per: int, dim: int, seed: int = 11):
+    """Deterministic corpus: n_base random unit-ish vectors, each with
+    dups_per slightly-perturbed near-duplicates (cosine ≈ 0.99+)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        base = [rnd.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, base))
+        vid += 1
+        for _ in range(dups_per):
+            rows.append((vid, [x + rnd.uniform(-0.01, 0.01) for x in base]))
+            vid += 1
+    return rows
+
+
+def test_cosine_near_dup_lsh_recall(spark):
+    """The default (multi-table LSH) path must keep precision 1.0 (its
+    cosine filter is exact) and recall ≥ 0.9 vs the exact self-join."""
+    rows = _clustered_vectors(n_base=30, dups_per=2, dim=16)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in cosine_near_dup_pairs(vecs, threshold=0.95, exact=True).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in cosine_near_dup_pairs(vecs, threshold=0.95, dim=16).collect()}
+    assert lsh <= exact  # precision 1.0
+    assert exact, "fixture must plant qualifying pairs"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ann_topk_recall(spark):
+    """Multi-table ANN recall@5 ≥ 0.9 vs brute force on a clustered
+    corpus (single-table single-probe is exactly what this guards
+    against regressing to)."""
+    rows = _clustered_vectors(n_base=40, dups_per=4, dim=16, seed=23)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 25 == 0], "query_id int, embedding array<float>"
+    )
+    exact = brute_force_topk(vecs, qs, k=5).collect()
+    approx = ann_topk(vecs, qs, dim=16, k=5, n_planes=6, n_tables=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9
+
+
+def test_simhash_near_duplicates_exhaustive(docs, spark):
+    """Pigeonhole block match has recall 1.0: the blocked join must equal
+    the all-pairs hamming filter exactly."""
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    sims = {r["doc_id"]: r["simhash"]
+            for r in docs.select(
+                "doc_id", simhash_col(F.col("text")).alias("simhash")
+            ).collect()}
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert any(h == 0 for h in got.values())  # the exact-dup trio collides
+
+
+def test_exact_dedup_member_cap(spark):
+    """A pathological dup group must not materialize an unbounded
+    member_ids array; group_size stays exact."""
+    rows = [(i, "same text every time") for i in range(10_000)] + [(10_000, "unique")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    g = exact_duplicates(docs, max_members=100).collect()
+    assert len(g) == 1
+    assert g[0]["group_size"] == 10_000
+    assert g[0]["member_ids"] == list(range(100))  # smallest ids kept
 
 
 def test_multimodal_plumbing(spark):
