@@ -380,6 +380,98 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, dim=64, k=5, n_planes=6)
 
 
+def q_site_comic_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 obfuscated image-URL cipher (sites.decode_comic_image_col,
+    ref lib/Loong/Scraper/Hhssee.pm:131-166): each doc plants a
+    deterministic plaintext path, encodes it with the substitution+split
+    cipher, and the operator under test decodes it back — the oracle
+    states the plaintext directly, so any decode defect hash-mismatches.
+    Pure codegen projection, zero shuffle."""
+    from loong_spark.sites import decode_comic_image_col, encode_comic_image_col
+
+    d = _t(spark, sf_dir, "documents")
+    plain = F.concat(
+        F.lit("http://img.example.com/dm01/vol_"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit("/"), F.col("doc_id").cast("string"), F.lit(".jpg"),
+    )
+    return d.select(
+        "doc_id", decode_comic_image_col(encode_comic_image_col(plain)).alias("img_url")
+    )
+
+
+def q_site_js_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 document.write unwrap (sites.unwrap_document_write_col, ref
+    lib/Loong/Scraper/Jrs.pm:29-31): payload extraction + backslash
+    unescape from a JS wrapper built per doc."""
+    from loong_spark.sites import unwrap_document_write_col
+
+    d = _t(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('var m=1;document.write("<li class=\\"game-item \\"><div>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</div></li>");m=2;'),
+    )
+    return d.select("doc_id", unwrap_document_write_col(js).alias("html"))
+
+
+def q_site_form_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 form/query URL synthesis (sites.getfile_url_col, ref
+    lib/Loong/Scraper/91porn.pm:40-57): scrape so.addVariable key/value
+    pairs out of a per-doc player blob and rebuild the getfile URL."""
+    from loong_spark.sites import getfile_url_col
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("so.addVariable('file','"), F.col("doc_id").cast("string"),
+        F.lit("');so.addVariable('mp4','0');so.addVariable('seccode','"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("');so.addVariable('max_vid','99999');"),
+    )
+    return d.select(
+        "doc_id", getfile_url_col(F.lit("http://v.example.com"), html).alias("next_url")
+    )
+
+
+def q_site_term_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 CN-label term map (sites.term_lookup_col, ref
+    lib/Loong/Scraper/Hupu.pm:6-39): each doc carries one CN stat label
+    (picked by doc_id), the literal-map lookup returns the EN column
+    name; unknown labels → NULL. Oracle states the EN name directly."""
+    from loong_spark.sites import NBA_TERMS, term_lookup_col
+
+    d = _t(spark, sf_dir, "documents")
+    labels = list(NBA_TERMS)  # insertion order, stable
+    # every 7th doc gets an unknown label to exercise the NULL miss path
+    cn = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("未知字段")
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(s) for s in labels]),
+            (F.pmod(F.col("doc_id"), F.lit(len(labels))) + 1).cast("int"),
+        )
+    )
+    return d.select(
+        "doc_id", term_lookup_col(cn, NBA_TERMS).alias("en_field")
+    )
+
+
+def q_site_date_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 date normalization (sites.normalize_date_col, ref
+    lib/Loong/Scraper/Hhssee.pm:74-77): Y/M/D triple embedded in text →
+    zero-padded ISO date."""
+    from loong_spark.sites import normalize_date_col
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("更新: "),
+        (F.pmod(F.col("doc_id"), F.lit(25)) + 2000).cast("string"), F.lit("/"),
+        (F.pmod(F.col("doc_id"), F.lit(12)) + 1).cast("string"), F.lit("/"),
+        (F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"),
+    )
+    return d.select("doc_id", normalize_date_col(raw).alias("last_update"))
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots rules (north_star; frontier.robots_allowed): longest-prefix
     allow/disallow over synthesized paths, pure JVM array ops. Disallow
@@ -532,6 +624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
         "robots_filter": q_robots_filter,
+        "site_comic_decode": q_site_comic_decode,
+        "site_js_unwrap": q_site_js_unwrap,
+        "site_form_synth": q_site_form_synth,
+        "site_term_map": q_site_term_map,
+        "site_date_norm": q_site_date_norm,
         "parse_spans": q_parse_spans,
         "etl_export": q_etl_export,
         "mm_image_features": q_mm_image_features,
@@ -600,6 +697,27 @@ def _sql_lang_id() -> str:
     scores AS (SELECT doc_id, {', '.join(score_exprs)} FROM norm),
     ranked AS (SELECT doc_id, s_en, s_de, s_fr, s_es, {best} AS best FROM scores)
     SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM ranked"""
+
+
+def _sql_term_map() -> str:
+    """Oracle for site_term_map: the EN name selected directly by
+    doc_id's label index (doc_id%7==0 rows carry an unknown label →
+    NULL). Built from the same NBA_TERMS the Spark side maps through,
+    so the SQL never contains the CN keys — only the expected output."""
+    from loong_spark.sites import NBA_TERMS
+
+    ens = list(NBA_TERMS.values())
+    whens = "\n              ".join(
+        f"WHEN {i} THEN '{en}'" for i, en in enumerate(ens)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE CASE doc_id % {len(ens)}
+              {whens}
+                    END
+               END AS en_field
+        FROM documents"""
 
 
 def _sql_simhash(bits: int = 16) -> str:
@@ -866,6 +984,32 @@ def oracle_sql() -> dict[str, str]:
                   r -> length(r))), -1)
               AS allowed
             FROM p""",
+        # site_* oracles state the EXPECTED output directly (the Spark
+        # side encodes then decodes / wraps then unwraps — the oracle is
+        # the fixed point, so any transform defect hash-mismatches)
+        "site_comic_decode": """
+            SELECT doc_id,
+                   'http://img.example.com/dm01/vol_' || CAST(doc_id % 50 AS VARCHAR)
+                   || '/' || CAST(doc_id AS VARCHAR) || '.jpg' AS img_url
+            FROM documents""",
+        "site_js_unwrap": """
+            SELECT doc_id,
+                   '<li class="game-item "><div>doc ' || CAST(doc_id AS VARCHAR)
+                   || '</div></li>' AS html
+            FROM documents""",
+        "site_form_synth": """
+            SELECT doc_id,
+                   'http://v.example.com/getfile.php?VID=' || CAST(doc_id AS VARCHAR)
+                   || '&mp4=0&seccode=' || md5(CAST(doc_id AS VARCHAR))
+                   || '&max_vid=99999' AS next_url
+            FROM documents""",
+        "site_term_map": _sql_term_map(),
+        "site_date_norm": """
+            SELECT doc_id,
+                   printf('%04d-%02d-%02d',
+                          2000 + doc_id % 25, doc_id % 12 + 1, doc_id % 28 + 1)
+                   AS last_update
+            FROM documents""",
         "etl_export": """
             WITH o1 AS (
               SELECT 'http://shop.example/order/' || CAST(o_orderkey AS VARCHAR) AS url,

@@ -181,6 +181,7 @@ def main():
         "tpch_q1", "tpch_q3", "tpch_q5",
         "docs_exact_dedup", "docs_minhash_lsh", "docs_simhash", "docs_quality",
         "emb_cosine_topk", "emb_ann_topk",
+        "parse_spans", "etl_export", "site_comic_decode",
     ]
     qs = entry.queries()
     for name in headline:

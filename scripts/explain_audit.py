@@ -54,6 +54,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "robots_filter": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
     # §3.4 ETL loader: broadcast related-source join, no cartesian
     "etl_export": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # P9/P6/P7 site transforms: pure scalar projections — JVM only,
+    # zero shuffle (they ride the scan at 100 TB)
+    "site_comic_decode": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]),
+    "site_term_map": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]),
+    "site_date_norm": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]),
     # U1 parse path: Arrow-batched mapInPandas, no per-row Python UDF
     "parse_spans": (["MapInPandas"], ["BatchEvalPython"]),
 }
