@@ -284,6 +284,24 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan forecasting-revenue aggregate — every
+    predicate pushes to the parquet scan, projection prunes to 4 columns,
+    no shuffle beyond the final 1-row partial-agg merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n_items"))
+    )
+
+
 # ============================================================ training-data ops
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -609,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_signature": q_docs_minhash_signature,
@@ -878,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
             GROUP BY n.n_name""",
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
         "docs_exact_dedup": f"""
             SELECT md5({_NORM}) AS content_hash,
                    count(*) AS group_size,

@@ -100,6 +100,8 @@ def resolve_href(base: str, href: str) -> str:
     low = href.lower()
     if low.startswith(_SCHEMES):
         scheme, host, path = split_url(href)
+        if not host:  # 'http://' / 'http:///x' — no authority, uncrawlable
+            return ""
         return f"{scheme}://{host}{_collapse_segments(path) if path else '/'}"
     # non-http schemes are not crawlable
     if ":" in href.split("/", 1)[0] and not href.startswith("//"):
@@ -111,6 +113,8 @@ def resolve_href(base: str, href: str) -> str:
 
     if href.startswith("//"):
         _, host2, path2 = split_url("http://" + href[2:])
+        if not host2:  # '//' with no authority — uncrawlable
+            return ""
         return f"{b_scheme}://{host2}{_collapse_segments(path2)}"
     if href.startswith("/"):
         return f"{b_scheme}://{b_host}{_collapse_segments(href)}"

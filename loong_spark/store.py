@@ -104,12 +104,24 @@ class SnapshotStore:
     def exists(self, table: str) -> bool:
         return self.current_version(table) >= 0
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        v = self.current_version(table)
+    def read(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot, or time-travel to an older
+        ``version`` (Iceberg VERSION AS OF): any un-vacuumed snapshot is
+        readable because its manifest still lists its data dirs."""
+        v = self.current_version(table) if version is None else version
         if v < 0:
             if schema is None:
                 raise FileNotFoundError(f"table {table} has no snapshot and no schema given")
             return self.spark.createDataFrame([], schema)
+        if version is not None and not os.path.isfile(self._vmpath(table, version)):
+            raise FileNotFoundError(
+                f"{table} snapshot m{version}.json missing (vacuumed or never written)"
+            )
         paths = [os.path.join(self._tdir(table), d) for d in self._manifest(table, v)]
         return self.spark.read.parquet(*paths)
 

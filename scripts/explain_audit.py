@@ -37,6 +37,12 @@ CODEGEN = "*("
 CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "tpch_q1": ([CODEGEN, "PushedFilters: [IsNotNull(l_shipdate)"], ["CartesianProduct"]),
     "tpch_q3": (["BroadcastHashJoin", "PushedFilters"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # q6: every predicate reaches the scan; projection prunes to 4 cols
+    "tpch_q6": (
+        [CODEGEN, "PushedFilters: [IsNotNull(l_shipdate)",
+         "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"],
+        ["CartesianProduct"],
+    ),
     "tpch_q5": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "frontier_schedule_topk": ([CODEGEN, "TakeOrderedAndProject"], ["CartesianProduct"]),
     "dedup_anti_join": (["LeftAnti"], ["CartesianProduct", "SortMergeJoin"]),

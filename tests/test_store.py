@@ -42,6 +42,22 @@ def test_append_chain_and_compaction(spark, tmp_path):
     assert set(r["id"] for r in st.read("t").collect()) == set(range(12))
 
 
+def test_time_travel_read(spark, tmp_path):
+    import pytest
+
+    st = _mk(spark, tmp_path)
+    st.commit("t", spark.range(3).selectExpr("id"))
+    st.append("t", spark.range(3, 6).selectExpr("id"))
+    st.append("t", spark.range(6, 9).selectExpr("id"))
+    assert st.read("t").count() == 9  # current
+    assert st.read("t", version=0).count() == 3
+    assert set(r["id"] for r in st.read("t", version=1).collect()) == set(range(6))
+    # current pointer untouched by time-travel reads
+    assert st.current_version("t") == 2
+    with pytest.raises(FileNotFoundError, match="m7"):
+        st.read("t", version=7)
+
+
 def test_rollback_restores_old_union(spark, tmp_path):
     st = _mk(spark, tmp_path)
     st.commit("t", spark.range(3).selectExpr("id"))
