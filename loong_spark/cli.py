@@ -94,6 +94,67 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """§2.9 streaming surface as a product command: drain an events feed
+    (file drops) with Trigger.AvailableNow through the watermarked
+    per-host window rates and the stateful politeness gate, print JSON
+    summaries. A parquet FILE input is staged into a drop directory
+    first (streaming file sources watch directories)."""
+    import os
+    import shutil
+    import tempfile
+
+    from loong_spark.streaming import (
+        host_fetch_rates,
+        politeness_gate_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    spark = _spark(args)
+    src = args.events
+    workdir = tempfile.mkdtemp(prefix="loong-stream-")
+    if os.path.isfile(src) or src.endswith(".parquet") and not os.path.isdir(src):
+        drop = os.path.join(workdir, "drop")
+        os.makedirs(drop)
+        shutil.copy(src, os.path.join(drop, "part-0.parquet"))
+        src = drop
+    elif os.path.isdir(src) and any(f.endswith(".parquet") for f in os.listdir(src)):
+        pass  # already a drop directory
+    else:
+        print(f"--events must be a parquet file or directory: {src}", file=sys.stderr)
+        return 2
+
+    rates = run_available_now(
+        host_fetch_rates(read_event_stream(spark, src), window=args.window),
+        os.path.join(workdir, "ck_rates"),
+        query_name="rates",
+        output_mode="complete",
+    )
+    print(json.dumps({
+        "stream": "host_fetch_rates",
+        "windows": len({(r["win_start"], r["win_end"]) for r in rates}),
+        "host_rows": len(rates),
+        "max_events_per_window": max((r["n_events"] for r in rates), default=0),
+    }))
+
+    gated = run_available_now(
+        politeness_gate_stream(read_event_stream(spark, src), delay_s=args.gate_delay),
+        os.path.join(workdir, "ck_gate"),
+        query_name="gated",
+    )
+    n_adm = sum(1 for r in gated if r["admitted"])
+    print(json.dumps({
+        "stream": "politeness_gate",
+        "events": len(gated),
+        "admitted": n_adm,
+        "suppressed": len(gated) - n_adm,
+        "delay_s": args.gate_delay,
+    }))
+    shutil.rmtree(workdir, ignore_errors=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="loong-spark")
     ap.add_argument("--cores", type=int, default=None, help="local[N] (default $SPARK_GRAFT_CPUS)")
@@ -121,6 +182,12 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("bench", help="run the per-round benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("stream", help="drain an events feed through the streaming ops")
+    s.add_argument("--events", required=True, help="events parquet file or drop directory")
+    s.add_argument("--window", default="1 minute")
+    s.add_argument("--gate-delay", type=float, default=60.0)
+    s.set_defaults(fn=cmd_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)
