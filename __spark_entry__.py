@@ -25,6 +25,7 @@ from loong_spark.text.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    connected_components,
     simhash_col,
     simhash_near_duplicates,
 )
@@ -331,6 +332,18 @@ def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster resolution over the MinHash-LSH pair graph
+    (dedup.connected_components): (doc_id, cluster_id=min reachable id).
+    Oracle: recursive-CTE transitive closure over the same pair SQL —
+    exact because both engines see identical pairs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=4, bands=2, verify_threshold=0.2
+    )
+    return connected_components(pairs)
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash"))
@@ -632,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_signature": q_docs_minhash_signature,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "docs_lang_id": q_docs_lang_id,
@@ -1098,4 +1112,22 @@ def oracle_sql() -> dict[str, str]:
         # oracle (sketch / approximate / non-SQL stub ops; pytest covers
         # bounds and determinism).
     }
+    # dup clusters = transitive closure (recursive CTE) over the SAME
+    # pair SQL the docs_minhash_lsh oracle uses — cluster_id is the min
+    # reachable doc_id, exactly the fixpoint the Spark label propagation
+    # converges to.
+    sql["docs_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({sql['docs_minhash_lsh']}),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, v) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u"""
     return sql

@@ -185,6 +185,61 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dup-CLUSTER resolution: near-dup pairs → (doc_id, cluster_id)
+    where cluster_id = min doc_id reachable through the pair graph.
+    Pairs only say "these two match"; deduplication needs one keeper per
+    connected component (cluster_id == doc_id picks it deterministically).
+
+    Spark-idiomatic iterative min-label propagation: each round joins
+    labels across edges (both directions) and keeps the per-node min;
+    stops when a round changes nothing. Rounds needed = graph diameter —
+    for dup clusters (near-cliques from LSH banding) that's 1-3. Each
+    round localCheckpoints: O(E) shuffle per round on (node, label)
+    longs only, lineage cut so the plan never deepens. The driver-side
+    convergence check is one count per round — bounded by the tiny
+    iteration count, not data size."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for edge (u,v), u sees v's current label
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_col(text_col, bits: int = 16):
     """SimHash fingerprint as an integer column, built-ins only:
     per token, md5 → take `bits` hex-derived bits; fingerprint bit b is

@@ -222,6 +222,18 @@ def test_simhash_near_duplicates_exhaustive(docs, spark):
     assert any(h == 0 for h in got.values())  # the exact-dup trio collides
 
 
+def test_connected_components(spark):
+    from loong_spark.text.dedup import connected_components
+
+    # two components: {1,2,3,7} via a path (diameter 3 — needs real
+    # iteration, not one hop) and {10,11}; 99 isolated (not in pairs)
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 7), (10, 11)], "doc_a int, doc_b int"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
 def test_exact_dedup_member_cap(spark):
     """A pathological dup group must not materialize an unbounded
     member_ids array; group_size stays exact."""
