@@ -464,6 +464,36 @@ def q_site_form_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (robots.parse_robots): each doc synthesizes a
+    robots file — one third global (*) sections with Allow + Crawl-delay,
+    one third agent-specific, one third for a different bot (must yield
+    NO row). All windows/aggregation JVM-side; oracle states the parsed
+    output directly."""
+    from loong_spark.robots import parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    m3 = F.pmod(F.col("doc_id"), F.lit(3))
+    ua = F.when(m3 == 0, "*").when(m3 == 1, "loong").otherwise("otherbot")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("# synthetic\nUser-agent: "), ua,
+        F.lit("\nDisallow: /p"), did, F.lit("/\n"),
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("Allow: /p"), did, F.lit("/ok\nCrawl-delay: "),
+                (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("string"), F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = d.select(
+        F.concat(F.lit("h"), did, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return parse_robots(robots, agent="loong")
+
+
 def q_site_term_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 CN-label term map (sites.term_lookup_col, ref
     lib/Loong/Scraper/Hupu.pm:6-39): each doc carries one CN stat label
@@ -657,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
         "robots_filter": q_robots_filter,
+        "robots_parse": q_robots_parse,
         "site_comic_decode": q_site_comic_decode,
         "site_js_unwrap": q_site_js_unwrap,
         "site_form_synth": q_site_form_synth,
@@ -1024,6 +1055,15 @@ def oracle_sql() -> dict[str, str]:
                   r -> length(r))), -1)
               AS allowed
             FROM p""",
+        "robots_parse": """
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+                   ['/p' || CAST(doc_id AS VARCHAR) || '/'] AS disallow,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ['/p' || CAST(doc_id AS VARCHAR) || '/ok']
+                        ELSE CAST([] AS VARCHAR[]) END AS allow,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
+            FROM documents WHERE doc_id % 3 < 2""",
         # site_* oracles state the EXPECTED output directly (the Spark
         # side encodes then decodes / wraps then unwraps — the oracle is
         # the fixed point, so any transform defect hash-mismatches)
