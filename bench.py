@@ -176,7 +176,12 @@ def main():
     t_all0 = time.time()
 
     prepare_input(spark, "/tmp/loong_bench", n_urls)
-    fb = run_cycle(spark, "/tmp/loong_bench", n_urls)
+    # two cycles, report the min: this VM's noise waves are ±2x, and the
+    # first cycle additionally pays codegen/JIT warmup — a single sample
+    # can misstate the engine by the noise amplitude (same estimator as
+    # bench/scaling.py)
+    cycles = [run_cycle(spark, "/tmp/loong_bench", n_urls) for _ in range(2)]
+    fb = min(cycles, key=lambda r: r["sec"])
     queries["frontier_schedule"] = fb["sec_schedule"]
     queries["frontier_dedup"] = fb["sec_dedup"]
 
