@@ -332,6 +332,16 @@ def q_docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at the library's PRODUCTION defaults (32 hashes /
+    8 bands / verify 0.8) — the demo-parameter twin keeps its cheap
+    oracle; this one proves the real configuration end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, verify_threshold=0.8
+    )
+
+
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster resolution over the MinHash-LSH pair graph
     (dedup.connected_components): (doc_id, cluster_id=min reachable id).
@@ -675,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_signature": q_docs_minhash_signature,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_minhash_lsh_prod": q_docs_minhash_lsh_prod,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -741,6 +752,42 @@ def _sql_minhash_sig(num_hashes: int = 4, n: int = 3) -> str:
       SELECT doc_id, {mins}
       FROM grams GROUP BY doc_id
     )"""
+
+
+def _sql_lsh_pairs(num_hashes: int, bands: int, threshold: float) -> str:
+    """Verified LSH near-dup pairs at arbitrary (num_hashes, bands):
+    candidates collide iff some band's signature slice matches exactly;
+    exact Jaccard filters them. Generalizes the banding OR-clause so the
+    same SQL backs both the demo-parameter and production-parameter
+    entries."""
+    r = num_hashes // bands
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.h{b * r + j} = b.h{b * r + j}" for j in range(r)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+            WITH {_sql_grams(3)},
+            {_sql_minhash_sig(num_hashes)},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+               AND ({band_conds})
+            ),
+            sizes AS (SELECT doc_id, count(*) AS ns FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, count(*) AS n_inter
+              FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT i.doc_a, i.doc_b, round(n_inter / (sa.ns + sb.ns - n_inter), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+            )
+            SELECT c.doc_a, c.doc_b, j.jaccard
+            FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+            WHERE j.jaccard >= {threshold}"""
 
 
 def _sql_lang_id() -> str:
@@ -959,29 +1006,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_grams(3)},
             {_sql_minhash_sig(4)}
             SELECT doc_id, h0, h1, h2, h3 FROM sig""",
-        "docs_minhash_lsh": f"""
-            WITH {_sql_grams(3)},
-            {_sql_minhash_sig(4)},
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-               AND ((a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3))
-            ),
-            sizes AS (SELECT doc_id, count(*) AS ns FROM grams GROUP BY doc_id),
-            inter AS (
-              SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, count(*) AS n_inter
-              FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
-              GROUP BY 1, 2
-            ),
-            jac AS (
-              SELECT i.doc_a, i.doc_b, round(n_inter / (sa.ns + sb.ns - n_inter), 6) AS jaccard
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.doc_a
-              JOIN sizes sb ON sb.doc_id = i.doc_b
-            )
-            SELECT c.doc_a, c.doc_b, j.jaccard
-            FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-            WHERE j.jaccard >= 0.2""",
+        "docs_minhash_lsh": _sql_lsh_pairs(4, 2, 0.2),
+        "docs_minhash_lsh_prod": _sql_lsh_pairs(32, 8, 0.8),
         "docs_simhash": _sql_simhash(16),
         "docs_simhash_neardup": f"""
             WITH sims AS ({_sql_simhash(16)})
