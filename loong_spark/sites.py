@@ -163,6 +163,39 @@ def file_redirect_col(html: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# U3: user-agent pool sampler (lib/Loong/Mojo/UserAgent/Pool.pm:7-29)
+# --------------------------------------------------------------------------
+
+#: tagged UA pool. The reference carries ~150 strings in __DATA__; the
+#: semantics that matter are (a) tagged web/mobile subsets and (b) a
+#: per-request pick. Strings here are generic stand-ins, NOT copied.
+UA_POOL = {
+    "web": [
+        "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/119.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Gecko/20100101 Firefox/121.0",
+        "Mozilla/5.0 (Windows NT 10.0; rv:120.0) Gecko/20100101 Firefox/120.0",
+    ],
+    "mobile": [
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile Safari/604.1",
+        "Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/120.0 Mobile Safari/537.36",
+        "Mozilla/5.0 (iPad; CPU OS 17_0 like Mac OS X) Version/17.0 Mobile Safari/604.1",
+    ],
+}
+
+
+def ua_pool_col(key: Column, kind: str = "web") -> Column:
+    """Deterministic per-request UA pick: hash the request key (url/seq)
+    into the tagged pool. The reference samples randomly per request
+    (Pool.pm:20-29); a distributed engine wants the pick reproducible
+    across retries/speculative tasks, so the hash replaces the RNG —
+    same uniform spread, stable per URL."""
+    pool = UA_POOL[kind]
+    arr = F.array(*[F.lit(u) for u in pool])
+    return F.element_at(arr, (F.pmod(F.xxhash64(key), F.lit(len(pool))) + 1).cast("int"))
+
+
+# --------------------------------------------------------------------------
 # P6: CN-label → EN-column term maps (lib/Loong/Scraper/Hupu.pm:6-39)
 # --------------------------------------------------------------------------
 

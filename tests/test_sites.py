@@ -119,6 +119,24 @@ def test_getfile_url_synthesis(spark):
     )
 
 
+def test_ua_pool(spark):
+    from loong_spark.sites import UA_POOL, ua_pool_col
+
+    df = spark.createDataFrame(
+        [(f"http://h{i}.example/p",) for i in range(200)], "url string"
+    )
+    picks = df.select(
+        ua_pool_col(F.col("url"), "web").alias("web"),
+        ua_pool_col(F.col("url"), "mobile").alias("mob"),
+    ).collect()
+    assert all(r["web"] in UA_POOL["web"] and r["mob"] in UA_POOL["mobile"] for r in picks)
+    # every pool member gets picked across 200 urls (uniform-ish spread)
+    assert {r["web"] for r in picks} == set(UA_POOL["web"])
+    # deterministic: same url → same UA on a second evaluation
+    again = df.select(ua_pool_col(F.col("url"), "web").alias("web")).collect()
+    assert [r["web"] for r in picks] == [r["web"] for r in again]
+
+
 def test_term_lookup(spark):
     from loong_spark.sites import NBA_TERMS, PLAYER_TERMS, term_lookup_col
 
