@@ -501,7 +501,16 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), did, F.lit(".example")).alias("host"),
         txt.alias("robots_txt"),
     )
-    return parse_robots(robots, agent="loong")
+    parsed = parse_robots(robots, agent="loong")
+    # scalar columns only: the driver comparator sorts rows in pandas and
+    # cannot hash array cells — join the (already array_sort-ed) rule
+    # arrays into one pipe-delimited string per kind.
+    return parsed.select(
+        "host",
+        F.array_join("disallow", "|").alias("disallow"),
+        F.array_join("allow", "|").alias("allow"),
+        "crawl_delay",
+    )
 
 
 def q_site_term_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,10 +1092,10 @@ def oracle_sql() -> dict[str, str]:
             FROM p""",
         "robots_parse": """
             SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
-                   ['/p' || CAST(doc_id AS VARCHAR) || '/'] AS disallow,
+                   '/p' || CAST(doc_id AS VARCHAR) || '/' AS disallow,
                    CASE WHEN doc_id % 3 = 0
-                        THEN ['/p' || CAST(doc_id AS VARCHAR) || '/ok']
-                        ELSE CAST([] AS VARCHAR[]) END AS allow,
+                        THEN '/p' || CAST(doc_id AS VARCHAR) || '/ok'
+                        ELSE '' END AS allow,
                    CASE WHEN doc_id % 3 = 0
                         THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
             FROM documents WHERE doc_id % 3 < 2""",

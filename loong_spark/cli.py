@@ -114,7 +114,12 @@ def cmd_stream(args) -> int:
     spark = _spark(args)
     src = args.events
     workdir = tempfile.mkdtemp(prefix="loong-stream-")
-    if os.path.isfile(src) or src.endswith(".parquet") and not os.path.isdir(src):
+    if not os.path.exists(src):
+        # checked FIRST: a nonexistent path ending in .parquet must get
+        # this clean message, not shutil.copy's raw FileNotFoundError
+        print(f"--events must be a parquet file or directory: {src}", file=sys.stderr)
+        return 2
+    if os.path.isfile(src):
         drop = os.path.join(workdir, "drop")
         os.makedirs(drop)
         shutil.copy(src, os.path.join(drop, "part-0.parquet"))

@@ -17,9 +17,15 @@ Parsing is a per-host line-window computation, entirely JVM-side
 * ``Allow:`` / ``Disallow:`` / ``Crawl-delay:`` lines bind to their
   section; comments (#…) and blank lines are ignored; empty-value
   Disallow ("allow all") contributes nothing;
-* a section applies if its UA set contains the crawler's agent string
-  or ``*``; matching sections' rules union per host, crawl_delay takes
-  the MAXIMUM (the strictest applicable wait is the one to honor).
+* group selection per RFC 9309 §2.2.1: when any section names the
+  crawler's exact agent, ONLY exact-agent sections apply; ``*`` sections
+  are the fallback otherwise (a site granting the named agent broader
+  access than ``*`` must not be over-blocked). Applicable sections'
+  rules union per host; crawl_delay takes the MAXIMUM (the strictest
+  applicable wait is the one to honor).
+
+The pure-Python twin (robots_core.parse_robots_text) implements the same
+semantics for the crawl oracle; parity is pytest-enforced.
 
 Scale: the explode is lines-per-robots (~10²); windows partition by
 host — the same key politeness state shuffles on, so this co-partitions
@@ -39,9 +45,10 @@ def parse_robots(
     agent: str = "loong",
 ) -> DataFrame:
     """(host, robots_txt) → (host, disallow array, allow array,
-    crawl_delay double|null). Sections matching ``agent`` (exact or
-    ``*``) contribute; crawl_delay = MAX over matching sections (honor
-    the strictest applicable wait)."""
+    crawl_delay double|null). Exact-``agent`` sections win; ``*``
+    sections apply only when no exact section exists (RFC 9309 §2.2.1);
+    crawl_delay = MAX over applicable sections (honor the strictest
+    applicable wait)."""
     host = F.col(host_col)
     lines = (
         robots.select(
@@ -76,11 +83,23 @@ def parse_robots(
             )
         ).alias("allow"),
         F.max(
-            F.when(F.col("key") == "crawl-delay", F.col("value").cast("double"))
+            # try_cast: a malformed Crawl-delay value is ignored, not an
+            # ANSI cast error that fails the whole parse
+            F.when(F.col("key") == "crawl-delay", F.col("value").try_cast("double"))
         ).alias("crawl_delay"),
     )
-    applicable = per_section.filter(
-        F.array_contains("uas", "*") | F.array_contains("uas", agent.lower())
+    # RFC 9309 group selection: exact-agent sections win; '*' sections
+    # apply only when the host has no exact-agent section at all.
+    w_host = Window.partitionBy("host")
+    applicable = (
+        per_section.withColumn("exact", F.array_contains("uas", agent.lower()))
+        .withColumn(
+            "any_exact",
+            F.max(F.col("exact").cast("int")).over(w_host) == 1,
+        )
+        .filter(
+            F.col("exact") | (F.array_contains("uas", "*") & ~F.col("any_exact"))
+        )
     )
     return applicable.groupBy("host").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("disallow")))).alias("disallow"),

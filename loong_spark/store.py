@@ -150,12 +150,32 @@ class SnapshotStore:
         return v
 
     def rollback(self, table: str, version: int) -> None:
-        """Point the table back at an older snapshot (resume support).
-        Metadata-only: the older manifest still lists its data dirs."""
+        """Point the table back at an older snapshot (resume support) and
+        DELETE everything above it: commit/append reuse version numbers
+        after a rollback, so a stale orphan manifest m{v+1} (or its data
+        dir) left behind would be readable via time-travel — or silently
+        rewritten in place — during the window before the numbers are
+        reused. Rolled-back snapshots are uncommitted by definition;
+        dropping them is the correct (Iceberg-like) behavior."""
         if not os.path.isfile(self._vmpath(table, version)):
             raise FileNotFoundError(f"{table} m{version}.json missing")
         dirs = self._manifest(table, version)
         self._swap(table, version, dirs)
+        tdir = self._tdir(table)
+        live: set[str] = set()
+        for name in list(os.listdir(tdir)):
+            if name.startswith("m") and name[1:-5].isdigit() and name.endswith(".json"):
+                v = int(name[1:-5])
+                if v > version:
+                    os.remove(os.path.join(tdir, name))
+                else:
+                    try:
+                        live.update(self._manifest(table, v))
+                    except FileNotFoundError:
+                        pass
+        for name in list(os.listdir(tdir)):
+            if name.startswith("d") and name[1:].isdigit() and name not in live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop snapshots older than the newest ``keep``: delete manifests

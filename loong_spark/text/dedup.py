@@ -216,6 +216,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         # neighbor labels: for edge (u,v), u sees v's current label
         nbr = (
@@ -237,6 +238,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent return here would split clusters and leave extra
+        # "keepers" undetected downstream — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pair-chain diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

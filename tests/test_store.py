@@ -83,3 +83,26 @@ def test_vacuum_keeps_shared_delta_dirs(spark, tmp_path):
     assert st.read("t").count() == 10
     # old manifests are gone
     assert not os.path.exists(os.path.join(st.warehouse, "t", "m0.json"))
+
+
+def test_rollback_purges_rolled_back_snapshots(spark, tmp_path):
+    """After rollback, snapshots above the target are GONE: no stale
+    orphan manifest stays time-travel-readable, and the reused version
+    numbers start from clean dirs (the ADVICE rollback-reuse case)."""
+    st = _mk(spark, tmp_path)
+    st.commit("t", spark.range(3).selectExpr("id"))          # v0
+    st.append("t", spark.range(3, 6).selectExpr("id"))       # v1
+    st.append("t", spark.range(6, 9).selectExpr("id"))       # v2
+    st.rollback("t", 0)
+    tdir = os.path.join(st.warehouse, "t")
+    assert not os.path.exists(os.path.join(tdir, "m1.json"))
+    assert not os.path.exists(os.path.join(tdir, "m2.json"))
+    assert not os.path.exists(os.path.join(tdir, "d1"))
+    assert not os.path.exists(os.path.join(tdir, "d2"))
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        st.read("t", version=1)  # uncommitted snapshot no longer readable
+    # version numbers are reused on fresh dirs — no mixed data
+    st.append("t", spark.range(50, 52).selectExpr("id"))     # new v1
+    assert set(r["id"] for r in st.read("t").collect()) == set(range(3)) | {50, 51}
+    assert set(r["id"] for r in st.read("t", version=1).collect()) == set(range(3)) | {50, 51}
