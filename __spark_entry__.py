@@ -414,8 +414,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate by construction → rows-only check;
-    recall-vs-exact is pytest-checked in tests/test_text_ops.py)."""
+    """LSH-bucketed ANN (approximate by construction → rows-only check).
+    Its EXACT TWIN is `emb_cosine_topk`: same queries (vec_id < 3), same
+    k, same output shape (query_id, vec_id, cosine, rank), brute-force
+    scored and fully oracled — so the driver verifies the exact answer
+    at this output shape, and pytest bounds this sketch's recall against
+    it (tests/test_text_ops.py::test_ann_topk_recall{,_10x})."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     return ann_topk(e, q, dim=64, k=5, n_planes=6)

@@ -35,7 +35,11 @@ def cmd_crawl(args) -> int:
     from loong_spark import schemas
 
     spark = _spark(args)
-    cfg = CrawlConfig(global_budget=args.budget, max_batches=args.max_batches)
+    cfg = CrawlConfig(
+        global_budget=args.budget,
+        max_batches=args.max_batches,
+        fetch_robots=args.fetch_robots,
+    )
     pipe = CrawlPipeline(spark, args.warehouse, cfg)
 
     if pipe.load_checkpoint() is None:
@@ -48,14 +52,16 @@ def cmd_crawl(args) -> int:
                 seeds_of,
             )
 
-            p = GraphParams(n_pages=args.demo_pages)
+            p = GraphParams(n_pages=args.demo_pages, robots_pages=args.fetch_robots)
             if args.parse:  # raw-HTML bodies → production decode+parse path
                 graph = spark.createDataFrame(
                     graph_rows_html_for_spark(p), schemas.WEB_GRAPH_HTML
                 )
             else:
                 graph = spark.createDataFrame(graph_rows_for_spark(p), schemas.WEB_GRAPH)
-            politeness = list(politeness_of(p).values())
+            # fetch_robots: rules are DISCOVERED by crawling /robots.txt,
+            # not handed to bootstrap
+            politeness = [] if args.fetch_robots else list(politeness_of(p).values())
             seeds = seeds_of(p)
         else:
             if not args.graph or not args.seeds_file:
@@ -174,6 +180,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--demo", action="store_true", help="synthetic fixture graph")
     c.add_argument("--demo-pages", type=int, default=300)
+    c.add_argument(
+        "--fetch-robots",
+        action="store_true",
+        help="fetch+parse /robots.txt on host discovery instead of "
+        "bootstrapping politeness rules (demo graph gains robots pages)",
+    )
     c.add_argument(
         "--parse", action="store_true",
         help="demo graph carries raw HTML bytes → run the decode+parse path",

@@ -49,6 +49,18 @@ class CrawlConfig:
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
 
+    # -- in-crawl robots fetch (north-rule polish; the reference has no
+    # robots at all — SURVEY.md §7 non-goals) --------------------------------
+    #: when True, politeness/robots rules are NOT fixed at bootstrap:
+    #: discovering a new host enqueues http://<host>/robots.txt at
+    #: priority -1 (ahead of all content URLs); the fetched file is
+    #: parsed (robots.parse_robots) and merged into the politeness table
+    #: for subsequent batches, and queued URLs that a newly-arrived rule
+    #: disallows are dropped at schedule time.
+    fetch_robots: bool = False
+    #: the UA string robots.txt group selection matches (RFC 9309)
+    robots_agent: str = "loong"
+
     # -- stopping ----------------------------------------------------------
     max_batches: int = 10_000
     #: use the sharded bloom prefilter (exact anti-join always backstops)

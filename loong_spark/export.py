@@ -6,18 +6,22 @@ lib/Loong/Loader.pm:80-103). The Spark-first shape is: compute the MERGE
 result set-orientedly (loader.upsert — one window, no per-row
 roundtrips) and hand the WHOLE frame to a bulk sink:
 
-* ``write_jdbc`` — real JDBC bulk write (MySQL/Postgres/...); needs the
-  vendor driver jar on the classpath, absent in this sandbox, so the
-  call gates on driver presence with a clear error instead of a Spark
-  stack trace. At scale: ``numPartitions``/``batchsize`` control
-  parallel INSERT streams; ``truncate`` avoids re-DDL on overwrite.
+* ``write_jdbc`` — real JDBC bulk write; gates on driver-class presence
+  with a clear error instead of a Spark stack trace. Spark ships an
+  embedded Derby driver, so this path is executed END-TO-END in tests
+  (tests/test_export.py::test_jdbc_roundtrip_and_upsert_derby); MySQL/
+  Postgres need their vendor jar on spark.jars. At scale:
+  ``numPartitions``/``batchsize`` control parallel INSERT streams;
+  ``truncate`` avoids re-DDL on overwrite.
 * ``write_jdbc_upsert`` — MERGE against JDBC: stage the batch to a temp
-  table then issue one server-side ``INSERT ... ON DUPLICATE KEY
-  UPDATE`` (MySQL) — the set-based equivalent of the reference's per-row
-  exists-check; never SELECT-then-branch per row from the driver.
-* ``export_files`` — parquet/csv/json directory sink (the
-  sandbox-verifiable path; also the right landing format for warehouse
-  consumers at 100 TB — partitioned columnar beats a row-store export).
+  table then issue ONE server-side set-based upsert (ANSI ``MERGE`` or
+  MySQL ``INSERT ... ON DUPLICATE KEY UPDATE``) — the set-based
+  equivalent of the reference's per-row exists-check; never
+  SELECT-then-branch per row from the driver. ``execute_jdbc`` runs the
+  returned statement over a driver-side connection.
+* ``export_files`` — parquet/csv/json directory sink (also the right
+  landing format for warehouse consumers at 100 TB — partitioned
+  columnar beats a row-store export).
 """
 
 from __future__ import annotations
@@ -29,6 +33,9 @@ _DRIVERS = {
     "mysql": "com.mysql.cj.jdbc.Driver",
     "postgresql": "org.postgresql.Driver",
     "sqlite": "org.sqlite.JDBC",
+    # embedded, ships inside the Spark distribution — the sandbox-
+    # executable JDBC target
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -55,8 +62,8 @@ def _require_driver(df: DataFrame, url: str, driver: str | None) -> str:
     if not jdbc_available(df.sparkSession, driver):
         raise RuntimeError(
             f"JDBC driver {driver} is not on the Spark classpath — add the "
-            "vendor jar via spark.jars. (This sandbox ships no JDBC "
-            "drivers; export_files is the verifiable sink here.)"
+            "vendor jar via spark.jars. (Embedded Derby ships with Spark "
+            "and works out of the box: url 'jdbc:derby:<dir>;create=true'.)"
         )
     return driver
 
@@ -96,25 +103,55 @@ def write_jdbc_upsert(
     index: list[str],
     driver: str | None = None,
     staging_suffix: str = "_stage",
+    dialect: str = "mysql",
     **options: str,
 ) -> str:
     """MERGE-shaped export: bulk-load the batch into ``table_stage``
     then one server-side upsert statement keyed on ``index``. Returns
-    the SQL the caller (or a JDBC connection hook) must run — Spark's
-    JDBC writer has no MERGE mode, and issuing per-row upserts from
-    executors is exactly the reference's scale bug, so the handoff is
-    explicit. (The set-based statement below is MySQL's
-    ``INSERT ... ON DUPLICATE KEY UPDATE``; adapt for other dialects.)"""
+    the SQL the caller runs (execute_jdbc) — Spark's JDBC writer has no
+    MERGE mode, and issuing per-row upserts from executors is exactly
+    the reference's scale bug, so the handoff is explicit.
+
+    dialect='mysql' → ``INSERT ... ON DUPLICATE KEY UPDATE``;
+    dialect='merge' → ANSI ``MERGE INTO`` (Derby/Postgres 15+/MSSQL).
+    Column identifiers are double-quoted in the merge form because
+    Spark's JDBC writer creates them quoted (case-preserved)."""
     stage = table + staging_suffix
     write_jdbc(df, url, stage, mode="overwrite", driver=driver, **options)
     cols = df.columns
     non_key = [c for c in cols if c not in index]
+    if dialect == "merge":
+        on = " AND ".join(f'{table}."{c}" = s."{c}"' for c in index)
+        updates = ", ".join(f'"{c}" = s."{c}"' for c in non_key)
+        col_list = ", ".join(f'"{c}"' for c in cols)
+        src_list = ", ".join(f's."{c}"' for c in cols)
+        return (
+            f"MERGE INTO {table} USING {stage} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_list})"
+        )
     col_list = ", ".join(cols)
     updates = ", ".join(f"{c}=VALUES({c})" for c in non_key)
     return (
         f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stage} "
         f"ON DUPLICATE KEY UPDATE {updates}"
     )
+
+
+def execute_jdbc(spark: SparkSession, url: str, sql: str, driver: str | None = None) -> None:
+    """Run one statement (DDL / the MERGE from write_jdbc_upsert) over a
+    driver-side JDBC connection. One statement, one connection — never a
+    per-row loop."""
+    driver = driver or jdbc_driver_for(url)
+    if driver is not None:
+        spark._jvm.java.lang.Class.forName(driver)  # noqa: SLF001
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        st = conn.createStatement()
+        st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
 
 
 def export_files(

@@ -45,6 +45,10 @@ class GraphParams:
     zipf_s: float = 1.2
     max_links: int = 6
     seed: int = 42
+    #: include per-host /robots.txt pages (200 + rules text for hosts
+    #: with a robots policy, 404 otherwise) — the cfg.fetch_robots
+    #: in-crawl robots fixtures
+    robots_pages: bool = False
 
 
 @lru_cache(maxsize=16)
@@ -131,10 +135,15 @@ def page_content_type(p: GraphParams, pid: int) -> str:
 def page_empty_kind(p: GraphParams, pid: int) -> str:
     """'' (normal) | 'body' (F3: zero-byte body) | 'parse' (F7: body
     parses to zero data spans). Both are non-retry failures
-    (/root/reference/lib/Loong/Crawler.pm:238-251)."""
-    if pid < p.n_hosts or not page_content_type(p, pid).startswith("text/html"):
+    (/root/reference/lib/Loong/Crawler.pm:238-251). Non-HTML pages can
+    be empty-BODIED too: the reference fails any response with no body
+    BEFORE the content-type gate (Crawler.pm:238-240), so the fixture
+    must emit that case."""
+    if pid < p.n_hosts:
         return ""
     r = _h(p.seed, "empty", pid) % 100
+    if not page_content_type(p, pid).startswith("text/html"):
+        return "body" if r < 20 else ""
     if r < 2:
         return "body"
     if r < 4:
@@ -229,12 +238,57 @@ def page_body(p: GraphParams, pid: int) -> bytes:
     """Raw page bytes for the parse-mode graph: spans+links rendered to
     HTML and encoded in the page's charset (parse_core.render_body).
     Non-html pages get opaque bytes (never parsed — F2 gate)."""
+    if page_empty_kind(p, pid) == "body":
+        return b""  # F3 fixture: 200 OK, no content (html OR not)
     if not page_content_type(p, pid).startswith("text/html"):
         return b"\xff\xd8\xfe" + str(pid).encode()
-    if page_empty_kind(p, pid) == "body":
-        return b""  # F3 fixture: 200 OK, text/html, no content
     cs, declare = page_charset(p, pid)
     return render_body(page_spans(p, pid), page_out_links(p, pid), cs, declare)
+
+
+def robots_url_of(host: str) -> str:
+    return f"http://{host}/robots.txt"
+
+
+def robots_txt_of(p: GraphParams, k: int) -> str | None:
+    """robots.txt text for host k, derived from the SAME policy table
+    politeness_of() builds — so a fetch_robots crawl converges to the
+    static-politeness rules. Hosts with path rules serve a full file;
+    of the rest, a deterministic third serve nothing (None → 404, the
+    stay-on-defaults path) and the others a Crawl-delay-only file."""
+    pol = politeness_of(p)[f"h{k}.example"]
+    if not pol.robots_disallow and not pol.robots_allow:
+        if _h(p.seed, "norobots", k) % 3 == 0:
+            return None
+        return f"# synthetic robots\nUser-agent: *\nCrawl-delay: {pol.delay_s}\n"
+    return (
+        "# synthetic robots\nUser-agent: *\n"
+        + "".join(f"Disallow: {r}\n" for r in pol.robots_disallow)
+        + "".join(f"Allow: {r}\n" for r in pol.robots_allow)
+        + f"Crawl-delay: {pol.delay_s}\n"
+    )
+
+
+def gen_robots_page(p: GraphParams, k: int) -> dict:
+    """/robots.txt as a WEB_GRAPH row: 200 + the rules text as a single
+    text span (span mode's body stand-in) for policied hosts, 404 with
+    no body otherwise."""
+    host = f"h{k}.example"
+    url = robots_url_of(host)
+    txt = robots_txt_of(p, k)
+    return {
+        "url": url,
+        "url_hash": url_md5(url),
+        "host": host,
+        "status": 200 if txt is not None else 404,
+        "content_type": "text/plain",
+        "body_spans": (
+            [{"kind": "text", "text": txt, "media_ref": "", "offset": 0}]
+            if txt is not None
+            else []
+        ),
+        "out_links": [],
+    }
 
 
 def gen_page(p: GraphParams, pid: int) -> dict:
@@ -257,6 +311,10 @@ def build_graph(p: GraphParams) -> dict[str, dict]:
     for pid in range(p.n_pages):
         pg = gen_page(p, pid)
         graph[pg["url"]] = pg
+    if p.robots_pages:
+        for k in range(p.n_hosts):
+            pg = gen_robots_page(p, k)
+            graph[pg["url"]] = pg
     return graph
 
 
@@ -312,4 +370,18 @@ def graph_rows_html_for_spark(p: GraphParams) -> list[dict]:
                 "body": page_body(p, pid),
             }
         )
+    if p.robots_pages:
+        for k in range(p.n_hosts):
+            pg = gen_robots_page(p, k)
+            txt = robots_txt_of(p, k)
+            out.append(
+                {
+                    "url": pg["url"],
+                    "url_hash": pg["url_hash"],
+                    "host": pg["host"],
+                    "status": pg["status"],
+                    "content_type": pg["content_type"],
+                    "body": txt.encode("utf-8") if txt is not None else b"",
+                }
+            )
     return out

@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from .canon_core import canonicalize, robots_match, split_url, url_md5
 from .config import CrawlConfig, HostPolicy
 from .gen import GraphParams, build_graph, politeness_of, seeds_of
+from .robots_core import delay_from_robots, parse_robots_text
 
 
 @dataclass
@@ -75,7 +76,9 @@ class Oracle:
     ):
         self.graph = graph
         self.seeds = seeds
-        self.politeness = politeness
+        # fetch_robots mode: rules are NOT known upfront — the dict starts
+        # empty and fills as /robots.txt fetches are parsed mid-crawl
+        self.politeness = {} if cfg.fetch_robots else politeness
         self.cfg = cfg
         self.seen: set[str] = set()
         self.host_seen_count: dict[str, int] = {}
@@ -88,8 +91,30 @@ class Oracle:
         self._batch_empty = 0
 
     # -- enqueue path (O5/F1 + O7 + robots) --------------------------------
+    def _enqueue_robots(self, host: str, batch: int) -> None:
+        """fetch_robots host discovery: the first URL admitted for a host
+        also enqueues that host's /robots.txt at priority -1 (ahead of
+        every content URL); the seen test-and-set makes this once-per-host.
+        Counts in host_seen_count BEFORE the triggering URL — the pipeline's
+        per-host rank window orders robots rows first."""
+        url = f"http://{host}/robots.txt"
+        h = url_md5(url)
+        if h in self.seen:
+            return
+        self.seen.add(h)
+        self.host_seen_count[host] = self.host_seen_count.get(host, 0) + 1
+        e = Entry(url, h, host, 0, -1.0, self.seq, None, "queued", 0, batch)
+        self.seq += 1
+        self.queued.append(e)
+        self.res.frontier_log.append(e)
+
     def _enqueue(self, url: str, depth: int, parent: str | None, batch: int) -> None:
         _, host, path = split_url(url)
+        if self.cfg.fetch_robots:
+            # robots discovery fires on every enqueue ATTEMPT (even ones
+            # the rules or dedup then drop) — mirrors the pipeline, which
+            # derives robots candidates from the pre-filter link set
+            self._enqueue_robots(host, batch)
         pol = self.politeness.get(host)
         if pol and not robots_match(path, pol.robots_disallow, pol.robots_allow):
             self._batch_robots += 1
@@ -111,6 +136,17 @@ class Oracle:
         self.queued.append(e)
         self.res.frontier_log.append(e)
 
+    def _allowed_now(self, e: Entry) -> bool:
+        """Schedule-time robots check against the CURRENT rules
+        (fetch_robots mode): /robots.txt itself is always fetchable."""
+        path = split_url(e.url)[2]
+        if path == "/robots.txt":
+            return True
+        pol = self.politeness.get(e.host)
+        if pol is None:
+            return True
+        return robots_match(path, pol.robots_disallow, pol.robots_allow)
+
     def _requeue_failed(self, e: Entry, batch: int) -> None:
         """O8: retry at queue tail with fresh seq; priority retained."""
         if e.attempt + 1 >= self.cfg.max_attempts:
@@ -129,6 +165,11 @@ class Oracle:
         self._batch_deduped = 0
         self._batch_robots = 0
         self._batch_empty = 0
+        if self.cfg.fetch_robots:
+            # rules that arrived AFTER a URL was enqueued enforce at
+            # schedule time: newly-disallowed queued entries are dropped
+            # for good (robots.txt entries themselves are always allowed)
+            self.queued = [e for e in self.queued if self._allowed_now(e)]
         eligible = [
             e for e in self.queued
             if self.host_next_eligible.get(e.host, 0) <= batch_id
@@ -151,24 +192,37 @@ class Oracle:
         self.queued = [e for e in self.queued if id(e) not in sched_ids]
 
         docs_written = failed = links = 0
+        robots_fetched: list[tuple[str, str]] = []
         for rank, e in enumerate(scheduled):
             self.res.crawl_order.append((batch_id, rank, e.url))
             page = self.graph.get(e.url)
+            if self.cfg.fetch_robots and split_url(e.url)[2] == "/robots.txt":
+                # robots responses: parsed (at end of batch), never
+                # retried — a host without a robots file stays on defaults
+                if page is None or page["status"] != 200:
+                    e.state = "failed"
+                    failed += 1
+                else:
+                    e.state = "fetched"
+                    robots_fetched.append((e.host, page["body_spans"][0]["text"]))
+                continue
             if page is None or page["status"] != 200:
                 e.state = "failed"
                 failed += 1
                 self._requeue_failed(e, batch_id)
                 continue
             e.state = "fetched"
-            if not page["content_type"].startswith("text/html"):
-                continue  # F2 content gate: fetched, not parsed
             if len(page["body_spans"]) == 0:
-                # F3 empty body / F7 scraped-empty: non-retry failure,
-                # no doc, links NOT followed (the reference croaks
-                # before continue_with_scraped, Crawler.pm:238-251)
+                # F3 empty body: non-retry failure, no doc, links NOT
+                # followed — checked BEFORE the content-type gate, as the
+                # reference does (Crawler.pm:238-240 precedes :241-252);
+                # F7 scraped-empty (html that parses to zero spans) lands
+                # here too in span representation
                 e.state = "failed_empty"
                 self._batch_empty += 1
                 continue
+            if not page["content_type"].startswith("text/html"):
+                continue  # F2 content gate: fetched, not parsed
             doc_id = e.url_hash
             self.res.docs[doc_id] = page["body_spans"]
             docs_written += 1
@@ -185,6 +239,23 @@ class Oracle:
                 else self.cfg.default_delay
             )
             self.host_next_eligible[host] = batch_id + delay
+
+        # fetch_robots: merge parsed rules LAST — they apply from the
+        # next batch onward (this batch's enqueues and politeness clocks
+        # used the rules known at batch start, like the pipeline)
+        for host, txt in robots_fetched:
+            parsed = parse_robots_text(txt, self.cfg.robots_agent)
+            if parsed is None:
+                continue  # no applicable section → defaults keep applying
+            self.politeness[host] = HostPolicy(
+                host=host,
+                delay_s=delay_from_robots(
+                    parsed["crawl_delay"], float(self.cfg.default_delay)
+                ),
+                max_active=self.cfg.default_max_active,
+                robots_disallow=parsed["disallow"],
+                robots_allow=parsed["allow"],
+            )
 
         m = {
             "batch_id": batch_id,

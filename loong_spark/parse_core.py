@@ -9,9 +9,10 @@ Reference semantics:
 
 * charset resolution (P4, /root/reference/lib/Loong/Scraper.pm:102-157):
   Content-Type header ``charset=`` param → ``<meta charset>`` /
-  ``<meta http-equiv>`` scan → CSS ``@charset`` → utf-8 fallback.
-  (The reference also sniffs a JS-specific charset attr; that form is
-  subsumed by the meta scan here.)
+  ``<meta http-equiv>`` scan → CSS ``@charset`` → quoted JS-attr
+  ``charset="..."`` (the reference's _guess_encoding_javascript applies
+  the same quoted charset regex to script payloads, Scraper.pm:106-117)
+  → utf-8 fallback.
 * parse (U1, /root/reference/lib/Loong/Scraper.pm:68-85): one page →
   ordered interleaved spans (text / media) + discovered links. The
   "DOM" is a small deterministic regex extractor — real-tag lxml/bs4
@@ -28,6 +29,9 @@ _CHARSET_META = re.compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
 )
 _CHARSET_CSS = re.compile(rb"@charset\s+[\"']([A-Za-z0-9_.:-]+)")
+#: the JS form the reference sniffs (Scraper.pm:50 charset_re over JS):
+#: a QUOTED charset= attr anywhere, e.g. <script charset="gbk">
+_CHARSET_JS = re.compile(rb"charset\s*=\s*[\"']([A-Za-z0-9_.:-]+)[\"']", re.I)
 
 #: label aliases → python codec names (the common real-web ones)
 _CODEC_ALIASES = {
@@ -52,7 +56,7 @@ def sniff_charset(content_type: str | None, body: bytes | None) -> str:
         if m:
             return normalize_charset(m.group(1))
     head = (body or b"")[:2048]
-    m = _CHARSET_META.search(head) or _CHARSET_CSS.search(head)
+    m = _CHARSET_META.search(head) or _CHARSET_CSS.search(head) or _CHARSET_JS.search(head)
     if m:
         return normalize_charset(m.group(1).decode("ascii", "ignore"))
     return "utf-8"
@@ -128,9 +132,13 @@ def render_body(
 ) -> bytes:
     """Render a page to BYTES in ``charset``. ``declare`` controls where
     the charset is discoverable: 'header' (caller puts it in the
-    Content-Type), 'meta' (a <meta charset> tag is prepended), or
-    'none' (undeclared — only correct for utf-8, the sniff fallback)."""
+    Content-Type), 'meta' (a <meta charset> tag is prepended), 'js' (a
+    <script charset="..."> tag is the only signal — the reference's JS
+    sniff form), or 'none' (undeclared — only correct for utf-8, the
+    sniff fallback)."""
     html = render_html(spans, links)
     if declare == "meta":
         html = f'<meta charset="{charset}">' + html
+    elif declare == "js":
+        html = f'<script type="text/javascript" charset="{charset}"></script>' + html
     return html.encode(charset)

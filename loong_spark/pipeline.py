@@ -39,6 +39,7 @@ from .bloom import BloomFilterManager
 from .canon import canonicalize_df, host_col, path_col, url_hash_col
 from .config import CrawlConfig, HostPolicy
 from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
+from .robots import parse_robots, politeness_from_robots
 from .rules import links_of, parse_pages_bytes, spans_of
 from .store import SnapshotStore
 
@@ -102,7 +103,7 @@ class CrawlPipeline:
     def _write_checkpoint(self, batch_id: int) -> None:
         tables = [
             "queued", "seen", "host_state", "docs",
-            "crawl_order", "metrics", "seen_shards",
+            "crawl_order", "metrics", "seen_shards", "politeness",
         ]
         ck = {
             "batch_id": batch_id,
@@ -202,19 +203,53 @@ class CrawlPipeline:
             )
         )
 
-        links = cand.filter(~F.col("is_retry"))
-        retries = cand.filter(F.col("is_retry"))
+        links = cand.filter(~F.col("is_retry")).withColumn("is_robots", F.lit(False))
+        retries = cand.filter(F.col("is_retry")).withColumn("is_robots", F.lit(False))
+
+        if self.cfg.fetch_robots:
+            # host discovery → /robots.txt candidate (one per candidate
+            # host, keyed to the FIRST triggering link so ordering and
+            # the per-host rank window are deterministic); the seen
+            # anti-join below makes this once-per-host across the crawl.
+            # Derived from the PRE-rules-filter link set: a link the
+            # rules drop still reveals its host.
+            rob = (
+                links.groupBy("host")
+                .agg(F.min(F.struct("parent_rank", "link_idx")).alias("_t"))
+                .select(
+                    F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+                    "host",
+                    F.col("_t.parent_rank").alias("parent_rank"),
+                    F.col("_t.link_idx").alias("link_idx"),
+                )
+                .select(
+                    "url",
+                    url_hash_col(F.col("url")).alias("url_hash"),
+                    "host",
+                    F.lit(0).alias("depth"),
+                    F.lit(None).cast("string").alias("parent"),
+                    F.col("parent_rank").cast("int"),
+                    F.col("link_idx").cast("int"),
+                    F.lit(False).alias("is_retry"),
+                    F.lit(None).cast("double").alias("retry_priority"),
+                    F.lit(0).alias("attempt"),
+                    F.lit(True).alias("is_robots"),
+                )
+            )
+            links = links.unionByName(rob)
 
         # robots (longest-prefix allow/disallow, checked before seen —
-        # excluded URLs never enter the seen set). The dropped-count is
-        # observed in-flight on the commit action below, not recomputed.
+        # excluded URLs never enter the seen set; /robots.txt itself is
+        # exempt). The dropped-count is observed in-flight on the commit
+        # action below, not recomputed.
         obs_robots = Observation()
         links = (
             links.join(pol, "host", "left")
             .withColumn("_path", path_col(F.col("url")))
             .withColumn(
                 "_allowed",
-                robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")),
+                F.col("is_robots")
+                | robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")),
             )
             .observe(
                 obs_robots,
@@ -260,35 +295,56 @@ class CrawlPipeline:
             seen = st.read("seen", schemas.SEEN).select("url_hash")
             winners = hashed.join(seen, "url_hash", "left_anti")
 
-        # priority (O7): prior per-host seen count = base + rank-within-batch
+        # priority (O7): prior per-host seen count = base + rank-within-batch.
+        # Robots rows share their trigger's (parent_rank, link_idx), so the
+        # is_robots DESC tie-break pins them FIRST in the per-host rank —
+        # same order the oracle counts them in.
         hs = F.broadcast(host_state.select("host", "seen_count"))
-        w_host = Window.partitionBy("host").orderBy("parent_rank", "link_idx")
+        w_host = Window.partitionBy("host").orderBy(
+            "parent_rank", "link_idx", F.col("is_robots").desc()
+        )
         winners = (
             winners.join(hs, "host", "left")
             .withColumn(
                 "_prior",
                 F.coalesce(F.col("seen_count"), F.lit(0)) + F.row_number().over(w_host) - 1,
             )
-            .withColumn("priority", priority_col(F.col("depth"), F.col("_prior"), self.cfg))
+            .withColumn(
+                "priority",
+                # robots fetches jump every content URL: priority -1 < any
+                # w_d*depth + w_h*log1p(...) score (both weights ≥ 0)
+                F.when(F.col("is_robots"), F.lit(-1.0)).otherwise(
+                    priority_col(F.col("depth"), F.col("_prior"), self.cfg)
+                ),
+            )
             .drop("seen_count", "_prior", "_bh1", "_bh2", "shard_id")
         )
 
+        base_seq = self._seq(batch_id)
         new_entries = winners.unionByName(
             retries.withColumn("priority", F.col("retry_priority"))
         ).select(
             "url", "url_hash", "host", "depth", "priority",
-            self._seq(batch_id).alias("seq"),
+            # robots rows get bit 61 set: unique vs their trigger (which
+            # shares parent_rank/link_idx) while keeping the same relative
+            # order among robots rows — seq is only ever a tie-break key
+            F.when(F.col("is_robots"), F.lit(1 << 61) + base_seq)
+            .otherwise(base_seq)
+            .alias("seq"),
             "parent",
             F.lit("queued").alias("state"),
             "attempt",
             F.lit(batch_id).cast("long").alias("enqueued_batch"),
+            "is_robots",
         )
 
         obs_new = Observation()
         new_entries = new_entries.observe(
             obs_new,
             F.coalesce(
-                F.sum(F.when(F.col("attempt") == 0, 1).otherwise(0)), F.lit(0)
+                F.sum(
+                    F.when((F.col("attempt") == 0) & ~F.col("is_robots"), 1).otherwise(0)
+                ), F.lit(0),
             ).alias("n_new"),
             F.count(F.lit(1)).alias("n_entries"),
         )
@@ -299,7 +355,7 @@ class CrawlPipeline:
         )
         stats = obs_vals(obs_new, n_new=0, n_entries=0)
         stats.update(obs_vals(obs_robots, robots_dropped=0))
-        return new_entries, new_seen, stats
+        return new_entries.drop("is_robots"), new_seen, stats
 
     # ------------------------------------------------------------- one batch
     def run_batch(self, batch_id: int) -> dict:
@@ -307,6 +363,26 @@ class CrawlPipeline:
         queued = st.read("queued", schemas.FRONTIER)
         host_state = st.read("host_state", HOST_STATE)
         politeness = st.read("politeness", schemas.POLITENESS)
+
+        if cfg.fetch_robots:
+            # rules that arrived AFTER a URL was enqueued enforce at
+            # schedule time: newly-disallowed rows drop out of the
+            # frontier (permanently — queued_next below commits the
+            # filtered set). /robots.txt itself is always fetchable.
+            rules = F.broadcast(
+                politeness.select("host", "robots_disallow", "robots_allow")
+            )
+            queued = (
+                queued.join(rules, "host", "left")
+                .withColumn("_path", path_col(F.col("url")))
+                .filter(
+                    (F.col("_path") == "/robots.txt")
+                    | robots_allowed(
+                        F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")
+                    )
+                )
+                .drop("robots_disallow", "robots_allow", "_path")
+            )
 
         # -- schedule (O1-O4) --------------------------------------------
         elig = eligible(queued, host_state, batch_id)
@@ -342,6 +418,18 @@ class CrawlPipeline:
         page_cols = ["body"] if parse_mode else ["body_spans", "out_links"]
         is_html = (F.col("status") == 200) & F.col("content_type").startswith("text/html")
         is_failed = F.col("status").isNull() | (F.col("status") != 200)
+        is_robots_row = path_col(F.col("url")) == "/robots.txt"
+        # F3 precedes F2: an empty-BODIED 200 response fails regardless of
+        # content type (Crawler.pm:238-240 runs before the :241-252 gate);
+        # html empties are counted separately as n_html - n_docs
+        empty_body = (
+            F.length("body") == 0 if parse_mode else F.size("body_spans") == 0
+        )
+        is_empty_nonhtml = (
+            (F.col("status") == 200)
+            & ~F.col("content_type").startswith("text/html")
+            & empty_body
+        )
         obs_fetch = Observation()
         fetched = (
             F.broadcast(sched)
@@ -350,10 +438,19 @@ class CrawlPipeline:
                 obs_fetch,
                 F.coalesce(F.sum(F.when(is_html, 1).otherwise(0)), F.lit(0)).alias("n_html"),
                 F.coalesce(F.sum(F.when(is_failed, 1).otherwise(0)), F.lit(0)).alias("n_failed"),
+                F.coalesce(
+                    F.sum(F.when(is_empty_nonhtml, 1).otherwise(0)), F.lit(0)
+                ).alias("n_empty_nonhtml"),
+                F.coalesce(
+                    F.sum(
+                        F.when((F.col("status") == 200) & is_robots_row, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_robots_ok"),
             )
         )
         st.commit("_work_fetched", fetched)
-        fvals = obs_vals(obs_fetch, n_html=0, n_failed=0)
+        fvals = obs_vals(obs_fetch, n_html=0, n_failed=0, n_empty_nonhtml=0, n_robots_ok=0)
         n_html, n_failed = fvals["n_html"], fvals["n_failed"]
         fetched = st.read("_work_fetched")
 
@@ -372,9 +469,15 @@ class CrawlPipeline:
             parsed = parse_pages_bytes(html.select("url", "body", "content_type"))
             st.commit("_work_parsed", parsed)
             parsed = st.read("_work_parsed")
+            # the span aggregate (groupBy + ordered collect_list) runs
+            # ONCE and is materialized: docs and the F7 semi-join both
+            # read it back — O(batch) extra write, one fewer span
+            # aggregation job per batch
+            st.commit("_work_spans", spans_of(parsed))
+            spans_agg = st.read("_work_spans")
             docs_new = (
                 html.select("url", "url_hash", "host", "parent")
-                .join(spans_of(parsed), "url")  # inner: 0-span pages fail out
+                .join(spans_agg, "url")  # inner: 0-span pages fail out
                 .select(
                     F.col("url_hash").alias("doc_id"),
                     "spans", "url", "host", "parent",
@@ -393,7 +496,7 @@ class CrawlPipeline:
                 )
                 # drop links found on scraped-empty pages (F7 croaks first)
                 .join(
-                    spans_of(parsed).select(F.col("url").alias("parent")),
+                    spans_agg.select(F.col("url").alias("parent")),
                     "parent",
                     "semi",
                 )
@@ -417,7 +520,7 @@ class CrawlPipeline:
         obs_docs = Observation()
         st.append("docs", docs_new.observe(obs_docs, F.count(F.lit(1)).alias("n")), schemas.DOCS)
         n_docs = obs_vals(obs_docs, n=0)["n"]
-        n_empty = n_html - n_docs
+        n_empty = n_html - n_docs + fvals["n_empty_nonhtml"]
 
         # -- links (O6): canonicalize (P1) --------------------------------
         links = (
@@ -442,7 +545,10 @@ class CrawlPipeline:
         n_links = obs_vals(obs_links, n=0)["n"]
         links = st.read("_work_links")
 
-        # -- retries (O8) --------------------------------------------------
+        # -- retries (O8) — failed robots fetches are never retried (the
+        # host simply stays on default politeness)
+        if cfg.fetch_robots:
+            failed = failed.filter(~is_robots_row)
         retries = failed.filter(F.col("attempt") + 1 < cfg.max_attempts).select(
             "url", "url_hash", "host", F.col("depth").cast("int"), "parent",
             F.col("rank").cast("int").alias("parent_rank"),
@@ -491,19 +597,68 @@ class CrawlPipeline:
         )
         st.commit("host_state", hs_next)
 
-        # bloom shards: merge this batch's new hashes
-        shards = st.read("seen_shards", schemas.SEEN_SHARDS)
-        st.commit(
-            "seen_shards",
-            self.bloom.updated_shards(shards, self.bloom.hashed(new_seen), batch_id),
+        # bloom shards: merge this batch's new hashes into the TOUCHED
+        # shards only and delta-write just those (merge_keyed) — write
+        # volume is O(touched bitsets) per batch, not O(all bitsets)
+        # (~12.5 GB/batch at 10^10 URLs under a full rewrite). The
+        # touched-id collect is ≤ n_shards ints off the already-
+        # materialized new_seen.
+        new_hashed = self.bloom.hashed(new_seen)
+        touched = sorted(
+            r[0] for r in new_hashed.select("shard_id").distinct().collect()
         )
+        if touched:
+            shards = st.read("seen_shards", schemas.SEEN_SHARDS)
+            upd = self.bloom.updated_shards(
+                shards.filter(F.col("shard_id").isin(touched)), new_hashed, batch_id
+            )
+            st.merge_keyed("seen_shards", upd, "shard_id", touched)
+
+        # -- robots responses → politeness refresh (fetch_robots mode) ----
+        # Parsed LAST so everything above this point used the rules known
+        # at batch start (matches the oracle); the merged table steers the
+        # NEXT batch's eligibility, enqueue checks, and delays. Committed
+        # only on batches that actually fetched a robots file. Scale: the
+        # politeness table is a per-host dim — at very large host counts
+        # switch this commit to a delta append + last-wins merge-on-read.
+        if cfg.fetch_robots and fvals["n_robots_ok"] > 0:
+            ok_rob = fetched.filter((F.col("status") == 200) & is_robots_row)
+            txt = (
+                F.decode(F.col("body"), "UTF-8")
+                if parse_mode
+                else F.element_at(F.col("body_spans"), 1)["text"]
+            )
+            parsed = parse_robots(
+                ok_rob.select("host", txt.alias("robots_txt")), agent=cfg.robots_agent
+            )
+            pol_rows = politeness_from_robots(
+                parsed,
+                default_interval_s=float(cfg.default_delay),
+                default_max_active=cfg.default_max_active,
+                min_interval_s=1.0,
+            )
+            new_pol = parsed.join(pol_rows, "host").select(
+                "host",
+                F.floor("interval_s").cast("int").alias("delay_s"),
+                F.col("max_active").cast("int").alias("max_active"),
+                F.col("disallow").alias("robots_disallow"),
+                F.col("allow").alias("robots_allow"),
+            )
+            st.commit(
+                "politeness",
+                politeness.join(new_pol.select("host"), "host", "left_anti")
+                .unionByName(new_pol),
+            )
 
         m = self._metrics_row(
             batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
             frontier_size=frontier_size,
         )
         self._write_checkpoint(batch_id)
-        for t in ("queued", "seen", "host_state", "seen_shards", "docs", "crawl_order", "metrics"):
+        for t in (
+            "queued", "seen", "host_state", "seen_shards", "docs",
+            "crawl_order", "metrics", "politeness",
+        ):
             st.vacuum(t, keep=3)
         return m
 

@@ -50,7 +50,16 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _entry_dir(e) -> str:
+    """Manifest entry → data dir name. Entries are plain strings (every
+    row in the dir is live) or dicts {'dir', 'key', 'keys'|'except'}
+    (only rows whose key column is in 'keys' / not in 'except' are live
+    — the merge_keyed delta-write format)."""
+    return e if isinstance(e, str) else e["dir"]
 
 
 class SnapshotStore:
@@ -122,8 +131,32 @@ class SnapshotStore:
             raise FileNotFoundError(
                 f"{table} snapshot m{version}.json missing (vacuumed or never written)"
             )
-        paths = [os.path.join(self._tdir(table), d) for d in self._manifest(table, v)]
-        return self.spark.read.parquet(*paths)
+        entries = self._manifest(table, v)
+        base = self._tdir(table)
+        if all(isinstance(e, str) for e in entries):
+            return self.spark.read.parquet(*[os.path.join(base, e) for e in entries])
+        # keyed entries (merge_keyed deltas): union of per-dir scans, each
+        # filtered to the dir's live keys — the isin predicate pushes into
+        # the parquet scan, so superseded key versions are row-group-pruned
+        dfs = []
+        for e in entries:
+            df = self.spark.read.parquet(os.path.join(base, _entry_dir(e)))
+            if isinstance(e, dict):
+                if "keys" in e:
+                    if not e["keys"]:
+                        continue
+                    df = df.filter(F.col(e["key"]).isin(e["keys"]))
+                elif e.get("except"):
+                    df = df.filter(~F.col(e["key"]).isin(e["except"]))
+            dfs.append(df)
+        if not dfs:
+            if schema is None:
+                raise FileNotFoundError(f"table {table} snapshot {v} is empty, no schema given")
+            return self.spark.createDataFrame([], schema)
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def commit(self, table: str, df: DataFrame) -> int:
         """Write a full new snapshot and swap the pointer (replace)."""
@@ -149,6 +182,49 @@ class SnapshotStore:
         self._swap(table, v, old_dirs + [f"d{v}"])
         return v
 
+    def merge_keyed(self, table: str, df: DataFrame, key_col: str, keys: list) -> int:
+        """Key-partitioned delta write: ``df`` carries the complete NEW
+        rows for ``keys`` (full per-key replacement); every other key is
+        carried forward in the manifest, NOT rewritten — **I/O is
+        O(touched keys), not O(table)**. This is what keeps the bloom
+        seen_shards table viable per-batch at 10^10 URLs: a batch that
+        touches 12 of 1024 shards writes 12 bitsets, not 12.5 GB.
+
+        Old manifest entries get the new keys masked out ('except' for
+        plain dirs, set-minus for keyed ones); the new dir is live for
+        exactly ``keys``. Reads reconstruct the union (see read()).
+        Compacts to a single plain dir past compact_threshold entries."""
+        keys = sorted(keys)
+        cur = self.current_version(table)
+        if cur < 0:
+            return self.commit(table, df)
+        entries = self._manifest(table, cur)
+        if len(entries) + 1 > self.compact_threshold:
+            merged = self.read(table).filter(~F.col(key_col).isin(keys)).unionByName(df)
+            return self.commit(table, merged)
+        v = cur + 1
+        df.write.mode("overwrite").parquet(self._ddir(table, v))
+        dropped = set(keys)
+        new_entries: list = []
+        for e in entries:
+            if isinstance(e, str):
+                new_entries.append({"dir": e, "key": key_col, "except": keys})
+            elif "keys" in e:
+                kept = [k for k in e["keys"] if k not in dropped]
+                if kept:
+                    new_entries.append({"dir": e["dir"], "key": key_col, "keys": kept})
+            else:
+                new_entries.append(
+                    {
+                        "dir": e["dir"],
+                        "key": key_col,
+                        "except": sorted(set(e["except"]) | dropped),
+                    }
+                )
+        new_entries.append(f"d{v}")  # the new dir is live in full
+        self._swap(table, v, new_entries)
+        return v
+
     def rollback(self, table: str, version: int) -> None:
         """Point the table back at an older snapshot (resume support) and
         DELETE everything above it: commit/append reuse version numbers
@@ -170,7 +246,7 @@ class SnapshotStore:
                     os.remove(os.path.join(tdir, name))
                 else:
                     try:
-                        live.update(self._manifest(table, v))
+                        live.update(_entry_dir(e) for e in self._manifest(table, v))
                     except FileNotFoundError:
                         pass
         for name in list(os.listdir(tdir)):
@@ -195,7 +271,7 @@ class SnapshotStore:
                     os.remove(os.path.join(tdir, name))
                 else:
                     try:
-                        live.update(self._manifest(table, v))
+                        live.update(_entry_dir(e) for e in self._manifest(table, v))
                     except FileNotFoundError:
                         pass
         for name in list(os.listdir(tdir)):

@@ -58,3 +58,34 @@ def test_upsert_sql_shape(frame, monkeypatch):
         "INSERT INTO match (id, grp, v) SELECT id, grp, v FROM match_stage "
         "ON DUPLICATE KEY UPDATE grp=VALUES(grp), v=VALUES(v)"
     )
+
+
+def test_jdbc_roundtrip_and_upsert_derby(spark, tmp_path):
+    """S9 executed END-TO-END against a real JDBC database: Spark ships
+    an embedded Derby driver, so write_jdbc bulk-loads, spark.read.jdbc
+    reads back, and the write_jdbc_upsert MERGE actually runs
+    (execute_jdbc) and upserts — no vendor jar, no mock."""
+    from loong_spark.export import execute_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+
+    def read_tbl(name):
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .load()
+        )
+
+    base = spark.createDataFrame([(1, "old", 1), (3, "keep", 3)], "id int, grp string, v int")
+    write_jdbc(base, url, "t", mode="overwrite", num_partitions=2)
+    assert sorted(tuple(r) for r in read_tbl("t").collect()) == [
+        (1, "old", 1), (3, "keep", 3),
+    ]
+
+    batch = spark.createDataFrame([(1, "new", 10), (2, "ins", 20)], "id int, grp string, v int")
+    merge_sql = write_jdbc_upsert(batch, url, "t", index=["id"], dialect="merge")
+    execute_jdbc(spark, url, merge_sql)
+    got = sorted(tuple(r) for r in read_tbl("t").collect())
+    assert got == [(1, "new", 10), (2, "ins", 20), (3, "keep", 3)]

@@ -85,3 +85,27 @@ def test_fixture_pages_roundtrip_through_bytes():
         assert got_spans == page_spans(p, pid), pid
         assert got_links == page_out_links(p, pid), pid
     assert n_non_utf8 > 0  # the fixture actually exercises non-utf8 decode
+
+
+def test_sniff_js_charset_attr():
+    """The reference's JS sniff form (Scraper.pm:106-117, quoted
+    charset_re over script payloads): a <script charset="gbk"> attr is
+    the ONLY signal — meta/css absent — and must resolve; the quoted
+    requirement means a bare header-style 'charset=x' body token does
+    NOT match (that form is header-only)."""
+    js_page = b'<script type="text/javascript" charset="gbk"></script><p>x</p>'
+    assert sniff_charset("text/html", js_page) == "gbk"
+    assert sniff_charset("text/html", b"<p>charset=latin-1 looks like text</p>") == "utf-8"
+    # resolution order: meta (earlier tier) beats a JS attr
+    both = b'<script charset="latin-1"></script><meta charset="gbk">'
+    assert sniff_charset("text/html", both) == "gbk"
+
+
+def test_decode_js_declared_gbk_roundtrip():
+    """render_body(declare='js') → bytes whose only charset signal is
+    the script attr → decode_body recovers the exact spans text."""
+    body = render_body(SPANS, LINKS, charset="gbk", declare="js")
+    decoded = decode_body("text/html", body)
+    parsed = parse_html("u", decoded)
+    texts = [p["text"] for p in parsed if p["out_kind"] == "span" and p["kind"] == "text"]
+    assert texts == ["café zürich", "队列 爬虫"]

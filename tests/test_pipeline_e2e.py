@@ -23,7 +23,9 @@ from loong_spark.oracle import run_oracle
 from loong_spark.pipeline import CrawlPipeline
 
 
-def make_pipeline(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> CrawlPipeline:
+def make_pipeline(
+    spark, warehouse, params: GraphParams, cfg: CrawlConfig, politeness=None
+) -> CrawlPipeline:
     pipe = CrawlPipeline(spark, warehouse, cfg)
     graph_df = spark.createDataFrame(
         [
@@ -37,7 +39,9 @@ def make_pipeline(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> Cr
         ],
         schemas.WEB_GRAPH,
     )
-    pipe.bootstrap(graph_df, list(politeness_of(params).values()), seeds_of(params))
+    if politeness is None:
+        politeness = list(politeness_of(params).values())
+    pipe.bootstrap(graph_df, politeness, seeds_of(params))
     return pipe
 
 
@@ -54,7 +58,9 @@ def test_tiny_full_crawl_matches_oracle(spark, warehouse, use_bloom, bloom_mode)
     assert_matches_oracle(pipe, golden)
 
 
-def make_pipeline_html(spark, warehouse, params: GraphParams, cfg: CrawlConfig) -> CrawlPipeline:
+def make_pipeline_html(
+    spark, warehouse, params: GraphParams, cfg: CrawlConfig, politeness=None
+) -> CrawlPipeline:
     """Parse-mode pipeline: the graph carries raw charset-encoded BYTES
     bodies; the pipeline must decode (P4) + parse (U1) them back."""
     pipe = CrawlPipeline(spark, warehouse, cfg)
@@ -65,7 +71,9 @@ def make_pipeline_html(spark, warehouse, params: GraphParams, cfg: CrawlConfig) 
         ],
         schemas.WEB_GRAPH_HTML,
     )
-    pipe.bootstrap(graph_df, list(politeness_of(params).values()), seeds_of(params))
+    if politeness is None:
+        politeness = list(politeness_of(params).values())
+    pipe.bootstrap(graph_df, politeness, seeds_of(params))
     return pipe
 
 
@@ -90,3 +98,48 @@ def test_small_prefix_matches_oracle(spark, warehouse):
     pipe = make_pipeline(spark, warehouse, params, cfg)
     pipe.run(max_batches=6)
     assert_matches_oracle(pipe, golden, batches=6)
+
+
+def test_parse_mode_js_declared_gbk_page(spark, warehouse):
+    """Stretch charset case: a gbk page whose ONLY charset signal is a
+    <script charset="gbk"> attr (the reference's JS sniff form,
+    Scraper.pm:106-117) crawls end-to-end through fetch→decode→parse
+    with exact span equality vs the oracle."""
+    from loong_spark.canon_core import url_md5
+    from loong_spark.oracle import Oracle
+    from loong_spark.parse_core import render_body
+
+    a = "a.example"
+    seed = f"http://{a}/"
+    gbk_url = f"http://{a}/p/1"
+    gbk_spans = [
+        {"kind": "text", "text": "队列 爬虫 café", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "media://h/i.jpg", "offset": 1},
+    ]
+    seed_spans = [{"kind": "text", "text": "root", "media_ref": "", "offset": 0}]
+    pages = [
+        (seed, seed_spans, [gbk_url], "utf-8", "none"),
+        (gbk_url, gbk_spans, [], "gbk", "js"),
+    ]
+    graph_df = spark.createDataFrame(
+        [(u, url_md5(u), a, 200, "text/html", render_body(sp, lk, cs, dec))
+         for (u, sp, lk, cs, dec) in pages],
+        schemas.WEB_GRAPH_HTML,
+    )
+    oracle_graph = {
+        u: dict(url=u, url_hash=url_md5(u), host=a, status=200,
+                content_type="text/html", body_spans=sp, out_links=lk)
+        for (u, sp, lk, _, _) in pages
+    }
+    cfg = CrawlConfig(global_budget=10, use_bloom=False)
+    golden = Oracle(oracle_graph, [seed], {}, cfg).run()
+    pipe = CrawlPipeline(spark, warehouse, cfg)
+    pipe.bootstrap(graph_df, [], [seed])
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+    docs = {r["doc_id"]: r for r in pipe.store.read("docs").collect()}
+    got = [
+        dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"], offset=s["offset"])
+        for s in docs[url_md5(gbk_url)]["spans"]
+    ]
+    assert got == gbk_spans

@@ -106,3 +106,44 @@ def test_rollback_purges_rolled_back_snapshots(spark, tmp_path):
     st.append("t", spark.range(50, 52).selectExpr("id"))     # new v1
     assert set(r["id"] for r in st.read("t").collect()) == set(range(3)) | {50, 51}
     assert set(r["id"] for r in st.read("t", version=1).collect()) == set(range(3)) | {50, 51}
+
+
+def test_merge_keyed_writes_only_touched_keys(spark, tmp_path):
+    """merge_keyed I/O is O(touched keys): the new data dir holds ONLY
+    the replaced keys' rows; untouched keys are carried in the manifest;
+    reads see exactly one (latest) row per key."""
+    st = _mk(spark, tmp_path)
+    rows = [(k, f"v0-{k}") for k in range(8)]
+    st.commit("s", spark.createDataFrame(rows, "k int, v string"))      # v0: plain
+    st.merge_keyed("s", spark.createDataFrame([(2, "v1-2"), (5, "v1-5")],
+                                              "k int, v string"), "k", [2, 5])
+    got = {r["k"]: r["v"] for r in st.read("s").collect()}
+    assert got == {k: (f"v1-{k}" if k in (2, 5) else f"v0-{k}") for k in range(8)}
+    # the delta dir holds exactly the 2 touched rows
+    d1 = spark.read.parquet(os.path.join(st.warehouse, "s", "d1"))
+    assert d1.count() == 2
+    # re-touching one key masks it out of BOTH earlier dirs
+    st.merge_keyed("s", spark.createDataFrame([(2, "v2-2")], "k int, v string"), "k", [2])
+    got = {r["k"]: r["v"] for r in st.read("s").collect()}
+    assert got[2] == "v2-2" and got[5] == "v1-5" and got[0] == "v0-0"
+    assert st.read("s").count() == 8
+    # time travel still sees the old versions
+    assert {r["k"]: r["v"] for r in st.read("s", version=0).collect()}[2] == "v0-2"
+    assert {r["k"]: r["v"] for r in st.read("s", version=1).collect()}[2] == "v1-2"
+
+
+def test_merge_keyed_compaction_and_rollback(spark, tmp_path):
+    st = _mk(spark, tmp_path, compact_threshold=4)
+    st.commit("s", spark.createDataFrame([(k, 0) for k in range(6)], "k int, ver int"))
+    for i in range(1, 6):  # drives past the threshold → compaction
+        st.merge_keyed(
+            "s", spark.createDataFrame([(i % 6, i)], "k int, ver int"), "k", [i % 6]
+        )
+    assert st.read("s").count() == 6
+    assert len(_dirs(st, "s")) <= 4
+    got = {r["k"]: r["ver"] for r in st.read("s").collect()}
+    assert got[5] == 5 and got[0] == 0
+    v = st.current_version("s")
+    st.merge_keyed("s", spark.createDataFrame([(0, 99)], "k int, ver int"), "k", [0])
+    st.rollback("s", v)
+    assert {r["k"]: r["ver"] for r in st.read("s").collect()}[0] == 0

@@ -260,3 +260,26 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_video_frames(media, every_n=1).groupBy("media_id").count().collect()
     assert {r["media_id"]: r["count"] for r in frames}["4"] == 5
+
+
+def test_ann_topk_recall_10x(spark):
+    """Recall@5 ≥ 0.9 held at a 10× corpus (2000 vectors, 16 queries):
+    bucket occupancy grows with corpus size, so this is the assertion
+    that the multi-table probe parameters survive scale-up rather than
+    only the toy fixture (SCALE.md ANN note)."""
+    rows = _clustered_vectors(n_base=400, dups_per=4, dim=16, seed=29)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 125 == 0], "query_id int, embedding array<float>"
+    )
+    exact = brute_force_topk(vecs, qs, k=5).collect()
+    approx = ann_topk(vecs, qs, dim=16, k=5, n_planes=6, n_tables=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert len(exact_sets) >= 10
+    assert hits / total >= 0.9, f"recall {hits}/{total} at 10x corpus"
