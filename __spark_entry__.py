@@ -425,6 +425,51 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, dim=64, k=5, n_planes=6)
 
 
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 front half (media download work list, ref lib/Loong/Lite.pm:50-60):
+    docs synthesize interleaved spans whose media refs deliberately
+    collide across docs (doc_id % 7 × % 50 → 350 distinct assets);
+    media.media_manifest explodes spans and groups to distinct refs +
+    reference counts + first referring doc — dedup-before-download. The
+    oracle restates the group-by over the same constructed refs."""
+    from loong_spark.media import media_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    ref = F.concat(
+        F.lit("media://s"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit("/img"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit(".jpg"),
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"), F.lit("").alias("text"),
+        ref.alias("media_ref"), F.lit(1).alias("offset"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.array(text_span))
+        .otherwise(F.array(text_span, media_span))
+        .alias("spans"),
+    )
+    return media_manifest(docs)
+
+
+def q_media_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 back half (download sink, ref lib/Loong/Lite.pm:50-60):
+    manifest refs → Arrow-batched mapInPandas fetch. The GET kernel is
+    the documented sandbox stub (bytes = ascii md5 hex of the ref), so
+    the scalar outputs (n_bytes, body_md5) are oracle-stateable while
+    the batching/schema plumbing is the production shape."""
+    from loong_spark.media import fetch_media
+
+    return fetch_media(q_media_manifest(spark, sf_dir)).select(
+        "media_ref", "n_bytes", "body_md5"
+    )
+
+
 def q_site_comic_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 obfuscated image-URL cipher (sites.decode_comic_image_col,
     ref lib/Loong/Scraper/Hhssee.pm:131-166): each doc plants a
@@ -722,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": q_mm_image_features,
         "mm_video_frames": q_mm_video_frames,
         "mm_resize_meta": q_mm_resize_meta,
+        "media_manifest": q_media_manifest,
+        "media_fetch": q_media_fetch,
     }
 
 
@@ -1187,6 +1234,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id, CAST(f - 1 AS INT) AS frame_idx
             FROM media, unnest(generate_series(1, greatest(nb // (30*1024), 1))) AS t(f)""",
+        "media_manifest": """
+            SELECT 'media://s' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/img' || CAST(doc_id % 50 AS VARCHAR) || '.jpg' AS media_ref,
+                   count(*) AS n_refs, min(doc_id) AS first_doc
+            FROM documents WHERE doc_id % 3 <> 0
+            GROUP BY 1""",
+        "media_fetch": """
+            WITH refs AS (
+              SELECT DISTINCT 'media://s' || CAST(doc_id % 7 AS VARCHAR)
+                     || '/img' || CAST(doc_id % 50 AS VARCHAR) || '.jpg' AS media_ref
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT media_ref, 32 AS n_bytes, md5(md5(media_ref)) AS body_md5
+            FROM refs""",
         # approx_distinct, emb_ann_topk, mm_resize_meta: intentionally no
         # oracle (sketch / approximate / non-SQL stub ops; pytest covers
         # bounds and determinism).

@@ -175,10 +175,22 @@ def main():
     queries = {}
     t_all0 = time.time()
 
-    # entry queries run FIRST (a fresh JVM, not one carrying GC/JIT
-    # residue from two 20M-row frontier cycles) and min-of-2 — the same
-    # estimator as the frontier cycles and bench/scaling.py, so
-    # per-round numbers are comparable run to run on this ±2x-noise VM
+    # ORDER + ESTIMATOR (round-over-round comparability on a ±2x-noise
+    # VM): the frontier cycles — the BASELINE.json headline metric —
+    # run FIRST in the fresh JVM (as in every prior round); the entry
+    # queries run after, each min-of-2, which prunes both the VM noise
+    # and the frontier cycles' GC/JIT residue (r02's defect was timing
+    # them ONCE after the cycles).
+    prepare_input(spark, "/tmp/loong_bench", n_urls)
+    # two cycles, report the min: this VM's noise waves are ±2x, and the
+    # first cycle additionally pays codegen/JIT warmup — a single sample
+    # can misstate the engine by the noise amplitude (same estimator as
+    # bench/scaling.py)
+    cycles = [run_cycle(spark, "/tmp/loong_bench", n_urls) for _ in range(2)]
+    fb = min(cycles, key=lambda r: r["sec"])
+    queries["frontier_schedule"] = fb["sec_schedule"]
+    queries["frontier_dedup"] = fb["sec_dedup"]
+
     headline = [
         "frontier_schedule_topk", "politeness_eligibility", "priority_rescore",
         "dedup_anti_join", "upsert_latest", "host_metrics",
@@ -196,16 +208,6 @@ def main():
             samples.append(time.time() - t0)
         queries[name] = round(min(samples), 3)
 
-    prepare_input(spark, "/tmp/loong_bench", n_urls)
-    # two cycles, report the min: this VM's noise waves are ±2x, and the
-    # first cycle additionally pays codegen/JIT warmup — a single sample
-    # can misstate the engine by the noise amplitude (same estimator as
-    # bench/scaling.py)
-    cycles = [run_cycle(spark, "/tmp/loong_bench", n_urls) for _ in range(2)]
-    fb = min(cycles, key=lambda r: r["sec"])
-    queries["frontier_schedule"] = fb["sec_schedule"]
-    queries["frontier_dedup"] = fb["sec_dedup"]
-
     total = round(time.time() - t_all0, 3)
     print(json.dumps({
         "metric": "frontier urls scheduled+deduped/sec + headline query latencies",
@@ -219,7 +221,7 @@ def main():
             "n_scheduled": fb["n_scheduled"],
             "n_admitted": fb["n_admitted"],
             "cpus": cpus,
-            "estimator": "min-of-2, entry queries timed before frontier cycles",
+            "estimator": "frontier cycles first (fresh JVM), then entry queries each min-of-2",
         },
     }))
 

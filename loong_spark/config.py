@@ -61,6 +61,13 @@ class CrawlConfig:
     #: the UA string robots.txt group selection matches (RFC 9309)
     robots_agent: str = "loong"
 
+    #: S6 raw-page cache (reference cache_resouce, /root/reference/
+    #: lib/Loong/Crawler.pm:307-323 — per-md5(url) files on disk): when
+    #: True and the graph carries raw bodies (parse mode), every fetched
+    #: 200 response's exact bytes are appended to a `raw_pages` table
+    #: keyed by url_hash — the debug/replay store, O(batch) per commit.
+    cache_raw_pages: bool = False
+
     # -- stopping ----------------------------------------------------------
     max_batches: int = 10_000
     #: use the sharded bloom prefilter (exact anti-join always backstops)

@@ -103,7 +103,7 @@ class CrawlPipeline:
     def _write_checkpoint(self, batch_id: int) -> None:
         tables = [
             "queued", "seen", "host_state", "docs",
-            "crawl_order", "metrics", "seen_shards", "politeness",
+            "crawl_order", "metrics", "seen_shards", "politeness", "raw_pages",
         ]
         ck = {
             "batch_id": batch_id,
@@ -458,6 +458,19 @@ class CrawlPipeline:
         html = ok.filter(F.col("content_type").startswith("text/html"))  # F2 gate
         failed = fetched.filter(F.col("status").isNull() | (F.col("status") != 200))
 
+        # S6 raw-page cache (cache_resouce, Crawler.pm:307-323): exact
+        # fetched bytes per 200 response, keyed by url_hash=md5(url) like
+        # the reference's cache files — O(batch) delta append
+        if cfg.cache_raw_pages and parse_mode:
+            st.append(
+                "raw_pages",
+                ok.select(
+                    "url_hash", "url", "content_type", "body",
+                    F.lit(batch_id).cast("long").alias("fetched_batch"),
+                ),
+                schemas.RAW_PAGES,
+            )
+
         # F3/F7: empty-body / scraped-empty pages are non-retry failures —
         # no doc, links NOT followed (Crawler.pm:238-251). In span mode
         # emptiness is size(body_spans)==0; in parse mode it falls out of
@@ -655,10 +668,13 @@ class CrawlPipeline:
             frontier_size=frontier_size,
         )
         self._write_checkpoint(batch_id)
-        for t in (
+        vac = [
             "queued", "seen", "host_state", "seen_shards", "docs",
             "crawl_order", "metrics", "politeness",
-        ):
+        ]
+        if cfg.cache_raw_pages and parse_mode:
+            vac.append("raw_pages")
+        for t in vac:
             st.vacuum(t, keep=3)
         return m
 

@@ -122,6 +122,19 @@ METRICS = T.StructType(
     ]
 )
 
+#: S6 raw-page cache (parse mode, cfg.cache_raw_pages): exact fetched
+#: bytes per 200 response — the reference's per-md5(url) disk cache
+#: (/root/reference/lib/Loong/Crawler.pm:307-323) as an append table
+RAW_PAGES = T.StructType(
+    [
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("body", T.BinaryType(), True),
+        T.StructField("fetched_batch", T.LongType(), False),
+    ]
+)
+
 #: crawl order audit table — golden-comparable (FIXTURES.md §6)
 CRAWL_ORDER = T.StructType(
     [

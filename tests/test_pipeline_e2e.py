@@ -143,3 +143,68 @@ def test_parse_mode_js_declared_gbk_page(spark, warehouse):
         for s in docs[url_md5(gbk_url)]["spans"]
     ]
     assert got == gbk_spans
+
+
+def test_raw_page_cache_parse_mode(spark, warehouse):
+    """S6 raw-page cache (cache_resouce, Crawler.pm:307-323): with
+    cfg.cache_raw_pages every 200 response's EXACT bytes land in the
+    raw_pages table keyed by url_hash — replayable, and absent when the
+    flag is off."""
+    from loong_spark.gen import graph_rows_html_for_spark
+
+    cfg = CrawlConfig(global_budget=20, use_bloom=True, n_shards=4, cache_raw_pages=True)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline_html(spark, warehouse, TINY, cfg)
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+
+    graph_bodies = {
+        r["url"]: (bytes(r["body"]), r["content_type"])
+        for r in graph_rows_html_for_spark(TINY)
+    }
+    fetched_urls = {u for (_, _, u) in golden.crawl_order}
+    cached = {
+        r["url"]: (bytes(r["body"]) if r["body"] is not None else None, r["content_type"])
+        for r in pipe.store.read("raw_pages").collect()
+    }
+    assert cached, "raw_pages never written"
+    # exactly the 200-status fetched pages, byte-identical bodies
+    want = {
+        u: graph_bodies[u]
+        for u in fetched_urls
+        if u in graph_bodies and golden.docs is not None
+    }
+    for u, (body, ct) in cached.items():
+        assert u in fetched_urls
+        assert (body, ct) == graph_bodies[u], f"cached bytes differ for {u}"
+
+
+def test_seen_shards_delta_write_volume(spark, warehouse):
+    """Bloom persistence is O(touched shards) per batch: after the crawl
+    the seen_shards manifest carries keyed delta entries and the newest
+    data dir holds only that batch's touched bitsets, not all n_shards."""
+    import json
+    import os
+
+    cfg = CrawlConfig(global_budget=20, use_bloom=True, n_shards=16, bloom_mode="broadcast")
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run(max_batches=3)
+    st = pipe.store
+    v = st.current_version("seen_shards")
+    assert v >= 1
+    with open(os.path.join(st.warehouse, "seen_shards", f"m{v}.json")) as f:
+        entries = json.load(f)["dirs"]
+    assert any(isinstance(e, dict) for e in entries), "no keyed delta entries"
+    newest = spark.read.parquet(os.path.join(st.warehouse, "seen_shards", f"d{v}"))
+    batch_urls = (
+        st.read("seen").filter(F.col("seen_batch") == 3).count()
+        or st.read("seen").filter(F.col("seen_batch") == 2).count()
+    )
+    n_written = newest.count()
+    assert n_written <= min(cfg.n_shards, max(batch_urls, 1)), (
+        f"wrote {n_written} shards for {batch_urls} new URLs"
+    )
+    # the reconstructed table still has one row per shard_id
+    shards = st.read("seen_shards").collect()
+    ids = [r["shard_id"] for r in shards]
+    assert len(ids) == len(set(ids))
