@@ -29,6 +29,19 @@ def _spark(args):
     return get_spark("loong-cli", cores=args.cores)
 
 
+def _jar_for(warehouse: str, cfg):
+    """Cookie jar for crawl/resume when request logging is on: pools
+    persist under <warehouse>/_cookies, so a resumed run re-reads the
+    SAME cookies; the demo generator only fires on miss/expiry."""
+    if not cfg.log_requests:
+        return None
+    import os
+
+    from loong_spark.cookies import CookieJar, demo_cookie_generator
+
+    return CookieJar(os.path.join(warehouse, "_cookies"), demo_cookie_generator)
+
+
 def cmd_crawl(args) -> int:
     from loong_spark.config import CrawlConfig
     from loong_spark.pipeline import CrawlPipeline
@@ -39,8 +52,11 @@ def cmd_crawl(args) -> int:
         global_budget=args.budget,
         max_batches=args.max_batches,
         fetch_robots=args.fetch_robots,
+        log_requests=args.log_requests,
     )
-    pipe = CrawlPipeline(spark, args.warehouse, cfg)
+    pipe = CrawlPipeline(
+        spark, args.warehouse, cfg, cookie_jar=_jar_for(args.warehouse, cfg)
+    )
 
     if pipe.load_checkpoint() is None:
         if args.demo:
@@ -84,7 +100,8 @@ def cmd_resume(args) -> int:
     from loong_spark.pipeline import CrawlPipeline
 
     spark = _spark(args)
-    pipe = CrawlPipeline(spark, args.warehouse)
+    pipe = CrawlPipeline(spark, args.warehouse)  # cfg auto-loads from config.json
+    pipe.cookie_jar = _jar_for(args.warehouse, pipe.cfg)
     if pipe.load_checkpoint() is None:
         print(f"no checkpoint under {args.warehouse}", file=sys.stderr)
         return 2
@@ -179,6 +196,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--budget", type=int, default=160)
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--demo", action="store_true", help="synthetic fixture graph")
+    c.add_argument(
+        "--log-requests", action="store_true",
+        help="append per-request UA/cookie headers to a `requests` audit table",
+    )
     c.add_argument("--demo-pages", type=int, default=300)
     c.add_argument(
         "--fetch-robots",

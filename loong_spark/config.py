@@ -7,7 +7,7 @@ All values are plain data so the whole config broadcasts cheaply.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 
 @dataclass(frozen=True)
@@ -68,6 +68,18 @@ class CrawlConfig:
     #: keyed by url_hash — the debug/replay store, O(batch) per commit.
     cache_raw_pages: bool = False
 
+    #: S4 request assembly audit (reference prepare_http,
+    #: /root/reference/lib/Loong/Crawler.pm:267-297): when True, every
+    #: scheduled URL's outgoing headers — the rotating-UA pick (U3) and,
+    #: if the pipeline was built with a CookieJar, the per-host cookie
+    #: pick (U4) — are appended to a `requests` table, O(batch) per
+    #: commit. This is the auditable record of what the fetch stage
+    #: sends; the picks are deterministic (hash-for-RNG) so retries and
+    #: re-runs log identical headers.
+    log_requests: bool = False
+    #: UA pool flavor for request assembly ('web' | 'mobile' — U3)
+    ua_kind: str = "web"
+
     # -- stopping ----------------------------------------------------------
     max_batches: int = 10_000
     #: use the sharded bloom prefilter (exact anti-join always backstops)
@@ -76,6 +88,21 @@ class CrawlConfig:
     #: (per-partition shard probe — the 10^10-URL path), or 'auto'
     #: (switch on total bitset size; see bloom.BROADCAST_LIMIT_BYTES)
     bloom_mode: str = "auto"
+
+    def to_dict(self) -> dict:
+        """JSON-safe knob dump (persisted as <warehouse>/config.json at
+        bootstrap so `resume` continues with the ORIGINAL settings —
+        fetch_robots / log_requests / budgets must not silently reset to
+        defaults on crash recovery)."""
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown CrawlConfig knobs: {sorted(unknown)}")
+        return cls(**d)
 
     def delay_for(self, politeness: dict | None) -> int:
         return int(politeness["delay_s"]) if politeness else self.default_delay

@@ -109,6 +109,14 @@ class CookieJar:
         return {h: self.pool_for(h) for h in sorted(set(hosts))}
 
 
+def demo_cookie_generator(host: str) -> list[str]:
+    """Deterministic stand-in for the reference's ``perl gen_cookie.pl``
+    login-flow side effect (t/gen_cookie.pl): a 4-cookie pool derived
+    from the host name. Used by the CLI demo and the resume path (the
+    real generator is a caller-supplied login callable)."""
+    return [f"session={host}-{i}" for i in range(4)]
+
+
 def cookie_col(host: Column, key: Column, snapshot: dict[str, list[str]]) -> Column:
     """Deterministic per-request cookie pick from a driver snapshot.
 

@@ -39,6 +39,7 @@ from .bloom import BloomFilterManager
 from .canon import canonicalize_df, host_col, path_col, url_hash_col
 from .config import CrawlConfig, HostPolicy
 from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
+from .cookies import prepare_http
 from .robots import parse_robots, politeness_from_robots
 from .rules import links_of, parse_pages_bytes, spans_of
 from .store import SnapshotStore
@@ -89,12 +90,28 @@ def obs_vals(obs: Observation, **defaults: int) -> dict[str, int]:
 
 
 class CrawlPipeline:
-    def __init__(self, spark: SparkSession, warehouse: str, cfg: CrawlConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        cfg: CrawlConfig | None = None,
+        cookie_jar=None,
+    ):
         self.spark = spark
+        if cfg is None:
+            # resume path: pick up the ORIGINAL run's knobs (written by
+            # bootstrap) instead of silently resetting to defaults
+            saved = os.path.join(warehouse, "config.json")
+            if os.path.isfile(saved):
+                with open(saved) as f:
+                    cfg = CrawlConfig.from_dict(json.load(f))
         self.cfg = cfg or CrawlConfig()
         self.store = SnapshotStore(spark, warehouse)
         self.bloom = BloomFilterManager(spark, self.cfg)
         self.warehouse = warehouse
+        #: optional cookies.CookieJar — drives the per-host cookie pick
+        #: in the `requests` audit table (cfg.log_requests)
+        self.cookie_jar = cookie_jar
 
     # ------------------------------------------------------------------ util
     def _ckpt_path(self) -> str:
@@ -104,6 +121,7 @@ class CrawlPipeline:
         tables = [
             "queued", "seen", "host_state", "docs",
             "crawl_order", "metrics", "seen_shards", "politeness", "raw_pages",
+            "requests",
         ]
         ck = {
             "batch_id": batch_id,
@@ -141,6 +159,10 @@ class CrawlPipeline:
         batch 0 enqueues the seed list in seed_order through the same
         robots→dedup→priority path links use."""
         st = self.store
+        cfgp = os.path.join(self.warehouse, "config.json")
+        with open(cfgp + ".tmp", "w") as f:
+            json.dump(self.cfg.to_dict(), f)
+        os.replace(cfgp + ".tmp", cfgp)
         st.commit("web_graph", web_graph)
         if not isinstance(politeness, DataFrame):
             politeness = self.spark.createDataFrame(
@@ -408,6 +430,29 @@ class CrawlPipeline:
             self._write_checkpoint(batch_id)
             return m
 
+        # -- S4 request assembly audit (prepare_http, Crawler.pm:267-297):
+        # log the exact UA/cookie headers the fetch stage sends. The host
+        # collect is bounded by the global budget (sched is materialized
+        # and capped), and the jar snapshot is politeness-table
+        # cardinality — both driver-side O(live hosts), like politeness.
+        if cfg.log_requests:
+            snap = None
+            if self.cookie_jar is not None:
+                hosts = [r[0] for r in sched.select("host").distinct().collect()]
+                snap = self.cookie_jar.snapshot(hosts)
+            reqs = prepare_http(
+                sched.select("url", "host", "rank"), snap, ua_kind=cfg.ua_kind
+            )
+            st.append(
+                "requests",
+                reqs.select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("rank").cast("int").alias("within_batch_rank"),
+                    "url", "host", "ua", "cookie",
+                ),
+                schemas.REQUESTS,
+            )
+
         # -- fetch (S4): broadcast the small scheduled side into the scan;
         # docs/failed counts ride the commit action as observed metrics.
         # parse mode (web_graph carries raw `body` bytes) runs the
@@ -674,6 +719,8 @@ class CrawlPipeline:
         ]
         if cfg.cache_raw_pages and parse_mode:
             vac.append("raw_pages")
+        if cfg.log_requests:
+            vac.append("requests")
         for t in vac:
             st.vacuum(t, keep=3)
         return m

@@ -135,6 +135,20 @@ RAW_PAGES = T.StructType(
     ]
 )
 
+#: per-request header audit table (S4 request assembly): the exact
+#: rotating-UA + cookie-jar picks the fetch stage would send, one row per
+#: scheduled URL (reference prepare_http, Crawler.pm:267-297) — append-only
+REQUESTS = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("within_batch_rank", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("ua", T.StringType(), False),
+        T.StructField("cookie", T.StringType(), True),
+    ]
+)
+
 #: crawl order audit table — golden-comparable (FIXTURES.md §6)
 CRAWL_ORDER = T.StructType(
     [
