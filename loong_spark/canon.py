@@ -29,7 +29,7 @@ def resolve_href_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     can't finish (relative paths / dot segments); plain absolute links
     never reach Python."""
     return pd.Series(
-        [resolve_href(b, h) for b, h in zip(base, href)], dtype="object"
+        [resolve_href(b or "", h or "") for b, h in zip(base, href)], dtype="object"
     )
 
 
@@ -68,9 +68,19 @@ def _jvm_parts(base: Column, href: Column) -> tuple[Column, Column, Column]:
     is_junk = (
         ~h.startswith("//") & ~is_abs & h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
     )
-    jvm_handled = (h == "") | clean_abs | is_junk
+    # empty href returns the BASE — which must come out canonical too, so
+    # the JVM keeps only bases that are already in canonical form (clean
+    # path, lowercase scheme+host); dirty bases go to the resolver, which
+    # normalizes them like any absolute href (canon_core empty branch)
+    bs = _strip_fragment(F.coalesce(base, F.lit("")))
+    base_clean = (
+        ~(bs.contains("/./") | bs.contains("/../") | bs.endswith("/.") | bs.endswith("/.."))
+        & ~(F.locate("//", bs, 9) > 0)
+        & bs.rlike("^https?://[a-z0-9.-]+/")
+    )
+    jvm_handled = ((h == "") & base_clean) | clean_abs | is_junk
     jvm_result = (
-        F.when(h == "", _strip_fragment(base))
+        F.when(h == "", bs)
         .when(clean_abs, h)
         .otherwise(F.lit(""))  # is_junk
     )

@@ -95,7 +95,17 @@ def resolve_href(base: str, href: str) -> str:
 
     if href == "":
         base_frag = base.find("#")
-        return base[:base_frag] if base_frag >= 0 else base
+        if base_frag >= 0:
+            base = base[:base_frag]
+        # the base is normalized like any absolute href: canonicalize
+        # output must NEVER carry dot segments (or mixed-case
+        # scheme/host), even when the caller hands a non-canonical base
+        if base.lower().startswith(_SCHEMES):
+            scheme, host, path = split_url(base)
+            if not host:
+                return ""
+            return f"{scheme}://{host}{_collapse_segments(path) if path else '/'}"
+        return base
 
     low = href.lower()
     if low.startswith(_SCHEMES):

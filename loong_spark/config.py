@@ -80,6 +80,21 @@ class CrawlConfig:
     #: UA pool flavor for request assembly ('web' | 'mobile' — U3)
     ua_kind: str = "web"
 
+    # -- frontier persistence ---------------------------------------------
+    #: delta-write the frontier: a batch APPENDS its new entries to
+    #: `queued` and its removals (scheduled seqs + robots-dropped seqs)
+    #: to a `dequeued` tombstone table; reads anti-join the tombstones
+    #: (broadcast — bounded by global_budget × frontier_compact_every).
+    #: Per-batch frontier write I/O drops from O(frontier) — ~1 TB/batch
+    #: at 10^10 URLs under the full rewrite — to O(batch). False = the
+    #: original read-modify-write full snapshot per batch.
+    frontier_deltas: bool = True
+    #: materialize (apply tombstones, reset `dequeued`) every K batches —
+    #: bounds the tombstone anti-join side and the append-dir count;
+    #: amortized O(frontier/K) write per batch, Iceberg minor-compaction
+    #: style
+    frontier_compact_every: int = 16
+
     # -- stopping ----------------------------------------------------------
     max_batches: int = 10_000
     #: use the sharded bloom prefilter (exact anti-join always backstops)

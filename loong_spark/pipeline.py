@@ -117,14 +117,17 @@ class CrawlPipeline:
     def _ckpt_path(self) -> str:
         return os.path.join(self.warehouse, "checkpoint.json")
 
-    def _write_checkpoint(self, batch_id: int) -> None:
+    def _write_checkpoint(self, batch_id: int, frontier_size: int | None = None) -> None:
         tables = [
-            "queued", "seen", "host_state", "docs",
+            "queued", "dequeued", "seen", "host_state", "docs",
             "crawl_order", "metrics", "seen_shards", "politeness", "raw_pages",
             "requests",
         ]
         ck = {
             "batch_id": batch_id,
+            # live-frontier cardinality carried forward so delta mode
+            # never needs a count job over the frontier
+            "frontier_size": frontier_size,
             "versions": {t: self.store.current_version(t) for t in tables},
         }
         tmp = self._ckpt_path() + ".tmp"
@@ -192,6 +195,7 @@ class CrawlPipeline:
         new_entries, new_seen, stats = self._admit(cand, empty_hs, batch_id=0)
 
         st.commit("queued", new_entries)
+        st.commit("dequeued", self.spark.createDataFrame([], schemas.DEQUEUED))
         st.commit("seen", new_seen)
         st.commit(
             "host_state",
@@ -205,7 +209,7 @@ class CrawlPipeline:
         st.commit("metrics", self.spark.createDataFrame([], schemas.METRICS))
         shards0 = self.spark.createDataFrame([], schemas.SEEN_SHARDS)
         st.commit("seen_shards", self.bloom.updated_shards(shards0, self.bloom.hashed(new_seen), 0))
-        self._write_checkpoint(0)
+        self._write_checkpoint(0, frontier_size=stats["n_entries"])
 
     # ----------------------------------------------------- admission pipeline
     def _admit(
@@ -379,31 +383,56 @@ class CrawlPipeline:
         stats.update(obs_vals(obs_robots, robots_dropped=0))
         return new_entries.drop("is_robots"), new_seen, stats
 
+    def _read_frontier(self) -> DataFrame:
+        """Live frontier view. In delta mode this is the append-only
+        `queued` table MINUS the `dequeued` tombstones — a broadcast
+        anti-join whose right side is bounded by global_budget ×
+        frontier_compact_every rows (compaction folds + resets it)."""
+        q = self.store.read("queued", schemas.FRONTIER)
+        if not self.cfg.frontier_deltas:
+            return q
+        tombs = self.store.read("dequeued", schemas.DEQUEUED)
+        return q.join(F.broadcast(tombs), "seq", "left_anti")
+
     # ------------------------------------------------------------- one batch
     def run_batch(self, batch_id: int) -> dict:
         st, cfg = self.store, self.cfg
-        queued = st.read("queued", schemas.FRONTIER)
+        queued = self._read_frontier()
         host_state = st.read("host_state", HOST_STATE)
         politeness = st.read("politeness", schemas.POLITENESS)
 
+        prev_size = None
+        if cfg.frontier_deltas:
+            ck = self.load_checkpoint()
+            prev_size = ck.get("frontier_size") if ck else None
+            if prev_size is None:  # pre-delta checkpoint: count once
+                prev_size = queued.count()
+
+        robots_dropped_q = None  # delta-mode tombstones for rule drops
         if cfg.fetch_robots:
             # rules that arrived AFTER a URL was enqueued enforce at
             # schedule time: newly-disallowed rows drop out of the
-            # frontier (permanently — queued_next below commits the
-            # filtered set). /robots.txt itself is always fetchable.
+            # frontier permanently (full-rewrite mode commits the
+            # filtered set below; delta mode tombstones their seqs).
+            # /robots.txt itself is always fetchable.
             rules = F.broadcast(
                 politeness.select("host", "robots_disallow", "robots_allow")
             )
-            queued = (
+            with_rules = (
                 queued.join(rules, "host", "left")
                 .withColumn("_path", path_col(F.col("url")))
-                .filter(
+                .withColumn(
+                    "_ok",
                     (F.col("_path") == "/robots.txt")
                     | robots_allowed(
                         F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")
-                    )
+                    ),
                 )
-                .drop("robots_disallow", "robots_allow", "_path")
+            )
+            if cfg.frontier_deltas:
+                robots_dropped_q = with_rules.filter(~F.col("_ok")).select("seq")
+            queued = with_rules.filter(F.col("_ok")).drop(
+                "robots_disallow", "robots_allow", "_path", "_ok"
             )
 
         # -- schedule (O1-O4) --------------------------------------------
@@ -425,9 +454,29 @@ class CrawlPipeline:
             schemas.CRAWL_ORDER,
         )
 
+        # -- delta-mode removals: ONE O(removed)-write tombstone append
+        # per batch (scheduled seqs + robots-rule drops); the oracle drops
+        # rule-disallowed entries at the start of EVERY batch, so delta
+        # mode tombstones them even on empty-schedule batches
+        n_qdropped = 0
+        if cfg.frontier_deltas:
+            tombs = sched.select("seq")
+            obs_drop = None
+            if robots_dropped_q is not None:
+                obs_drop = Observation()
+                tombs = tombs.unionByName(
+                    robots_dropped_q.observe(obs_drop, F.count(F.lit(1)).alias("n"))
+                )
+            if robots_dropped_q is not None or n_sched > 0:
+                st.append("dequeued", tombs, schemas.DEQUEUED)
+            if obs_drop is not None:
+                n_qdropped = obs_vals(obs_drop, n=0)["n"]
+            prev_size -= n_qdropped
+
         if n_sched == 0:
-            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, 0, frontier_size=queued.count())
-            self._write_checkpoint(batch_id)
+            fsize = prev_size if cfg.frontier_deltas else queued.count()
+            m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, 0, frontier_size=fsize)
+            self._write_checkpoint(batch_id, frontier_size=fsize)
             return m
 
         # -- S4 request assembly audit (prepare_http, Crawler.pm:267-297):
@@ -622,12 +671,19 @@ class CrawlPipeline:
         n_deduped = n_links - stats["n_new"] - stats["robots_dropped"]
 
         # -- state updates ---------------------------------------------------
-        obs_q = Observation()
-        queued_next = queued.join(
-            F.broadcast(sched.select("seq")), "seq", "left_anti"
-        ).unionByName(new_entries).observe(obs_q, F.count(F.lit(1)).alias("n"))
-        st.commit("queued", queued_next)
-        frontier_size = obs_vals(obs_q, n=0)["n"]
+        if cfg.frontier_deltas:
+            # O(batch) frontier write: new entries append (tombstones for
+            # this batch's removals were already appended above); the
+            # live size is pure arithmetic — no count job
+            st.append("queued", new_entries.select(*schemas.FRONTIER.names), schemas.FRONTIER)
+            frontier_size = prev_size - n_sched + stats["n_entries"]
+        else:
+            obs_q = Observation()
+            queued_next = queued.join(
+                F.broadcast(sched.select("seq")), "seq", "left_anti"
+            ).unionByName(new_entries).observe(obs_q, F.count(F.lit(1)).alias("n"))
+            st.commit("queued", queued_next)
+            frontier_size = obs_vals(obs_q, n=0)["n"]
         st.append("seen", new_seen, schemas.SEEN)
 
         # host_state: politeness clocks + seen counts
@@ -708,13 +764,24 @@ class CrawlPipeline:
                 .unionByName(new_pol),
             )
 
+        # minor compaction: fold tombstones into a fresh full snapshot and
+        # reset them — keeps the anti-join side and append-dir count
+        # bounded; amortized O(frontier / frontier_compact_every) per batch
+        if (
+            cfg.frontier_deltas
+            and cfg.frontier_compact_every
+            and batch_id % cfg.frontier_compact_every == 0
+        ):
+            st.commit("queued", self._read_frontier())
+            st.commit("dequeued", self.spark.createDataFrame([], schemas.DEQUEUED))
+
         m = self._metrics_row(
             batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
             frontier_size=frontier_size,
         )
-        self._write_checkpoint(batch_id)
+        self._write_checkpoint(batch_id, frontier_size=frontier_size)
         vac = [
-            "queued", "seen", "host_state", "seen_shards", "docs",
+            "queued", "dequeued", "seen", "host_state", "seen_shards", "docs",
             "crawl_order", "metrics", "politeness",
         ]
         if cfg.cache_raw_pages and parse_mode:
@@ -761,10 +828,12 @@ class CrawlPipeline:
         batch_id = ck["batch_id"]
         cap = max_batches if max_batches is not None else self.cfg.max_batches
         out = []
-        fsize = None  # unknown until first batch; then tracked from metrics
+        # live size from the checkpoint (delta mode writes it); fall back
+        # to one count over the live view for pre-delta checkpoints
+        fsize = ck.get("frontier_size")
         while batch_id < cap:
             if fsize is None:
-                fsize = self.store.read("queued", schemas.FRONTIER).count()
+                fsize = self._read_frontier().count()
             if fsize == 0:
                 break
             if self.cfg.use_bloom and self.bloom.mode == "broadcast":

@@ -65,6 +65,11 @@ FRONTIER = T.StructType(
     ]
 )
 
+#: frontier removal tombstones (frontier_deltas mode): seqs scheduled or
+#: robots-dropped; live frontier = queued MINUS dequeued (anti-join),
+#: folded in and reset every frontier_compact_every batches
+DEQUEUED = T.StructType([T.StructField("seq", T.LongType(), False)])
+
 #: output docs table per BASELINE.json input_hint
 DOCS = T.StructType(
     [

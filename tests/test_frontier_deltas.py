@@ -1,0 +1,84 @@
+"""Frontier delta persistence (frontier_deltas): a batch writes O(batch)
+— new entries appended to `queued`, removals appended to `dequeued` —
+instead of rewriting the whole frontier (O(frontier) ≈ 1 TB/batch at
+10^10 URLs). Oracle equality of the delta path itself is covered by the
+whole e2e suite (frontier_deltas defaults True); here we pin the write
+volume, the tombstone fold, the size arithmetic, and the legacy path.
+"""
+
+import json
+import os
+
+from loong_spark import schemas
+from loong_spark.compare import assert_matches_oracle
+from loong_spark.config import CrawlConfig
+from loong_spark.gen import TINY
+from loong_spark.oracle import run_oracle
+from tests.test_pipeline_e2e import make_pipeline
+
+
+def _dir_rows(spark, warehouse, table, d):
+    return spark.read.parquet(os.path.join(warehouse, table, d)).count()
+
+
+def _manifest_dirs(warehouse, table):
+    with open(os.path.join(warehouse, table, "MANIFEST.json")) as f:
+        v = json.load(f)["version"]
+    with open(os.path.join(warehouse, table, f"m{v}.json")) as f:
+        return json.load(f)["dirs"]
+
+
+def test_batch_writes_are_o_batch(spark, warehouse):
+    """The newest queued data dir holds ONLY the batch's new entries and
+    the newest dequeued dir ONLY its removals — not the whole frontier."""
+    cfg = CrawlConfig(global_budget=5, use_bloom=False, frontier_compact_every=100)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    metrics = pipe.run(max_batches=4)
+    m = metrics[-1]
+
+    qdirs = _manifest_dirs(warehouse, "queued")
+    assert len(qdirs) == 5  # bootstrap commit + one append per batch
+    newest_q = _dir_rows(spark, warehouse, "queued", qdirs[-1])
+    # newest dir = links admitted + retries that batch, NOT the frontier
+    assert newest_q <= m["links_discovered"] + m["failed"]
+    assert newest_q < m["frontier_size"]
+
+    ddirs = _manifest_dirs(warehouse, "dequeued")
+    newest_d = _dir_rows(spark, warehouse, "dequeued", ddirs[-1])
+    assert newest_d == m["urls_scheduled"]
+
+    # arithmetic live size == materialized live view
+    assert pipe._read_frontier().count() == m["frontier_size"]
+
+
+def test_compaction_folds_tombstones(spark, warehouse):
+    """Every frontier_compact_every batches the tombstones fold into a
+    fresh full snapshot and reset; results still match the oracle."""
+    cfg = CrawlConfig(global_budget=20, use_bloom=False, frontier_compact_every=2)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    metrics = pipe.run()
+
+    assert_matches_oracle(pipe, golden)
+    # a compacting batch leaves exactly one live queued dir and zero
+    # tombstones; last batch number decides which state we ended in
+    last = metrics[-1]["batch_id"]
+    tombs = pipe.store.read("dequeued", schemas.DEQUEUED).count()
+    if last % 2 == 0:
+        assert _manifest_dirs(warehouse, "queued") == [
+            f"d{pipe.store.current_version('queued')}"
+        ]
+        assert tombs == 0
+    else:
+        assert tombs <= 20  # at most one batch of removals since the fold
+    assert pipe._read_frontier().count() == metrics[-1]["frontier_size"]
+
+
+def test_full_rewrite_mode_still_matches(spark, warehouse):
+    """frontier_deltas=False keeps the original read-modify-write path."""
+    cfg = CrawlConfig(global_budget=20, use_bloom=False, frontier_deltas=False)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+    assert len(_manifest_dirs(warehouse, "queued")) == 1

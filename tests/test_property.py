@@ -15,7 +15,7 @@ Invariants:
 
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from loong_spark.canon_core import canonicalize, extract_host, resolve_href
@@ -38,6 +38,11 @@ _href = st.one_of(
 
 @given(host=_host, path=_path, href=_href)
 @settings(max_examples=300, deadline=None)
+@example(
+    host='a.aa',
+    path='/./',
+    href='',
+).via('discovered failure')
 def test_canonicalize_invariants(host, path, href):
     base = f"http://{host}{path or '/'}"
     out = canonicalize(base, href)
@@ -52,13 +57,10 @@ def test_canonicalize_invariants(host, path, href):
     assert "/./" not in out_path and "/../" not in out_path
     # fragment-strip of a canonical URL is a no-op
     assert canonicalize(out, "") == out
-    if href.split("#")[0].strip() != "":
-        # idempotence of the RESOLVER: re-canonicalizing a resolved URL
-        # (as an href) returns it unchanged. The empty/fragment-only-href
-        # fast path is exempt by design — it returns the base verbatim
-        # (fragment stripped) without re-normalizing, matching the
-        # reference.
-        assert canonicalize(base, out) == out
+    # idempotence of the RESOLVER: re-canonicalizing a resolved URL (as
+    # an href, or as a base with an empty href) returns it unchanged —
+    # the empty-href branch normalizes the base like any absolute href
+    assert canonicalize(base, out) == out
     # host extraction is a prefix of the URL's authority
     h = extract_host(out)
     assert h and rest.startswith(h)
