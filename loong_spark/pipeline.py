@@ -731,10 +731,12 @@ class CrawlPipeline:
         # -- robots responses → politeness refresh (fetch_robots mode) ----
         # Parsed LAST so everything above this point used the rules known
         # at batch start (matches the oracle); the merged table steers the
-        # NEXT batch's eligibility, enqueue checks, and delays. Committed
-        # only on batches that actually fetched a robots file. Scale: the
-        # politeness table is a per-host dim — at very large host counts
-        # switch this commit to a delta append + last-wins merge-on-read.
+        # NEXT batch's eligibility, enqueue checks, and delays. Written
+        # only on batches that actually fetched a robots file, as a KEYED
+        # DELTA (merge_keyed): the batch writes only the refreshed hosts'
+        # rows — O(robots fetched) ≤ global_budget — while every other
+        # host's row is carried forward in the manifest, so the per-batch
+        # politeness write stays O(batch) even at 10^7+ known hosts.
         if cfg.fetch_robots and fvals["n_robots_ok"] > 0:
             ok_rob = fetched.filter((F.col("status") == 200) & is_robots_row)
             txt = (
@@ -758,11 +760,10 @@ class CrawlPipeline:
                 F.col("disallow").alias("robots_disallow"),
                 F.col("allow").alias("robots_allow"),
             )
-            st.commit(
-                "politeness",
-                politeness.join(new_pol.select("host"), "host", "left_anti")
-                .unionByName(new_pol),
-            )
+            # bounded collect: hosts whose robots arrived this batch
+            # (≤ scheduled robots fetches ≤ global_budget)
+            hosts_new = [r[0] for r in new_pol.select("host").distinct().collect()]
+            st.merge_keyed("politeness", new_pol, "host", hosts_new)
 
         # minor compaction: fold tombstones into a fresh full snapshot and
         # reset them — keeps the anti-join side and append-dir count
