@@ -50,6 +50,18 @@ def test_batch_writes_are_o_batch(spark, warehouse):
     # arithmetic live size == materialized live view
     assert pipe._read_frontier().count() == m["frontier_size"]
 
+    # plan shape: the live view is a BROADCAST anti-join (the tombstone
+    # side is bounded), never a sort-merge over the 10^10-row frontier
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pipe._read_frontier().explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
 
 def test_compaction_folds_tombstones(spark, warehouse):
     """Every frontier_compact_every batches the tombstones fold into a
