@@ -52,6 +52,19 @@ HOST_STATE = T.StructType(
     ]
 )
 
+#: per-batch host_state updates (frontier_deltas mode): _ne_new is the
+#: new politeness clock for scheduled hosts (NULL when the host only
+#: gained seen URLs), _added the batch's seen-count increment; the live
+#: view folds these onto the base (last _ne_new by batch_id, sum _added)
+HOST_STATE_DELTA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("_ne_new", T.LongType(), True),
+        T.StructField("_added", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
+    ]
+)
+
 _CAND = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -119,9 +132,9 @@ class CrawlPipeline:
 
     def _write_checkpoint(self, batch_id: int, frontier_size: int | None = None) -> None:
         tables = [
-            "queued", "dequeued", "seen", "host_state", "docs",
-            "crawl_order", "metrics", "seen_shards", "politeness", "raw_pages",
-            "requests",
+            "queued", "dequeued", "seen", "host_state", "host_state_delta",
+            "docs", "crawl_order", "metrics", "seen_shards", "politeness",
+            "raw_pages", "requests",
         ]
         ck = {
             "batch_id": batch_id,
@@ -204,6 +217,7 @@ class CrawlPipeline:
                 F.col("count").cast("long").alias("seen_count"),
             ),
         )
+        st.commit("host_state_delta", self.spark.createDataFrame([], HOST_STATE_DELTA))
         st.commit("docs", self.spark.createDataFrame([], schemas.DOCS))
         st.commit("crawl_order", self.spark.createDataFrame([], schemas.CRAWL_ORDER))
         st.commit("metrics", self.spark.createDataFrame([], schemas.METRICS))
@@ -394,11 +408,40 @@ class CrawlPipeline:
         tombs = self.store.read("dequeued", schemas.DEQUEUED)
         return q.join(F.broadcast(tombs), "seq", "left_anti")
 
+    def _read_host_state(self) -> DataFrame:
+        """Live host_state. Delta mode: every host has exactly one base
+        row (new hosts append a zero row on first sight), and per-batch
+        updates fold on — next_eligible = last non-NULL _ne_new by
+        batch_id, seen_count = base + Σ_added. The fold side is bounded
+        by frontier_compact_every batches of O(touched hosts) rows, so
+        it broadcasts; compaction folds it into the base."""
+        base = self.store.read("host_state", HOST_STATE)
+        if not self.cfg.frontier_deltas:
+            return base
+        d = self.store.read("host_state_delta", HOST_STATE_DELTA)
+        fold = d.groupBy("host").agg(
+            F.max(
+                F.struct(
+                    F.coalesce(
+                        F.when(F.col("_ne_new").isNotNull(), F.col("batch_id")),
+                        F.lit(-1),
+                    ).alias("b"),
+                    F.col("_ne_new").alias("v"),
+                )
+            ).alias("_ne"),
+            F.sum("_added").alias("_add"),
+        )
+        return base.join(F.broadcast(fold), "host", "left").select(
+            "host",
+            F.coalesce(F.col("_ne.v"), F.col("next_eligible")).alias("next_eligible"),
+            (F.col("seen_count") + F.coalesce(F.col("_add"), F.lit(0))).alias("seen_count"),
+        )
+
     # ------------------------------------------------------------- one batch
     def run_batch(self, batch_id: int) -> dict:
         st, cfg = self.store, self.cfg
         queued = self._read_frontier()
-        host_state = st.read("host_state", HOST_STATE)
+        host_state = self._read_host_state()
         politeness = st.read("politeness", schemas.POLITENESS)
 
         prev_size = None
@@ -699,17 +742,46 @@ class CrawlPipeline:
         win_counts = new_seen.groupBy("host").count().select(
             "host", F.col("count").cast("long").alias("_added")
         )
-        hs_next = (
-            host_state.join(sched_hosts, "host", "full")
-            .join(win_counts, "host", "full")
-            .select(
-                "host",
-                F.coalesce(F.col("_ne_new"), F.col("next_eligible"), F.lit(0)).alias("next_eligible"),
-                (F.coalesce(F.col("seen_count"), F.lit(0)) + F.coalesce(F.col("_added"), F.lit(0)))
-                .alias("seen_count"),
+        if cfg.frontier_deltas:
+            # O(touched hosts) writes: first-seen hosts append a zero
+            # base row (scheduled hosts always have one — they were
+            # admitted in an earlier batch), then the batch's updates
+            # append to the delta table the live view folds on
+            st.append(
+                "host_state",
+                win_counts.join(
+                    st.read("host_state", HOST_STATE).select("host"),
+                    "host",
+                    "left_anti",
+                ).select(
+                    "host",
+                    F.lit(0).cast("long").alias("next_eligible"),
+                    F.lit(0).cast("long").alias("seen_count"),
+                ),
+                HOST_STATE,
             )
-        )
-        st.commit("host_state", hs_next)
+            st.append(
+                "host_state_delta",
+                sched_hosts.join(win_counts, "host", "full").select(
+                    "host",
+                    F.col("_ne_new").cast("long"),
+                    F.coalesce(F.col("_added"), F.lit(0)).cast("long").alias("_added"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                ),
+                HOST_STATE_DELTA,
+            )
+        else:
+            hs_next = (
+                host_state.join(sched_hosts, "host", "full")
+                .join(win_counts, "host", "full")
+                .select(
+                    "host",
+                    F.coalesce(F.col("_ne_new"), F.col("next_eligible"), F.lit(0)).alias("next_eligible"),
+                    (F.coalesce(F.col("seen_count"), F.lit(0)) + F.coalesce(F.col("_added"), F.lit(0)))
+                    .alias("seen_count"),
+                )
+            )
+            st.commit("host_state", hs_next)
 
         # bloom shards: merge this batch's new hashes into the TOUCHED
         # shards only and delta-write just those (merge_keyed) — write
@@ -775,6 +847,8 @@ class CrawlPipeline:
         ):
             st.commit("queued", self._read_frontier())
             st.commit("dequeued", self.spark.createDataFrame([], schemas.DEQUEUED))
+            st.commit("host_state", self._read_host_state())
+            st.commit("host_state_delta", self.spark.createDataFrame([], HOST_STATE_DELTA))
 
         m = self._metrics_row(
             batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
@@ -782,8 +856,8 @@ class CrawlPipeline:
         )
         self._write_checkpoint(batch_id, frontier_size=frontier_size)
         vac = [
-            "queued", "dequeued", "seen", "host_state", "seen_shards", "docs",
-            "crawl_order", "metrics", "politeness",
+            "queued", "dequeued", "seen", "host_state", "host_state_delta",
+            "seen_shards", "docs", "crawl_order", "metrics", "politeness",
         ]
         if cfg.cache_raw_pages and parse_mode:
             vac.append("raw_pages")

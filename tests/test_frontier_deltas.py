@@ -47,6 +47,14 @@ def test_batch_writes_are_o_batch(spark, warehouse):
     newest_d = _dir_rows(spark, warehouse, "dequeued", ddirs[-1])
     assert newest_d == m["urls_scheduled"]
 
+    # host_state: base only gains first-seen-host rows; per-batch updates
+    # land in the delta table (scheduled hosts + hosts with new URLs)
+    hdirs = _manifest_dirs(warehouse, "host_state")
+    n_hosts = pipe._read_host_state().count()
+    assert _dir_rows(spark, warehouse, "host_state", hdirs[-1]) < n_hosts
+    hd = _manifest_dirs(warehouse, "host_state_delta")
+    assert _dir_rows(spark, warehouse, "host_state_delta", hd[-1]) <= n_hosts
+
     # arithmetic live size == materialized live view
     assert pipe._read_frontier().count() == m["frontier_size"]
 
