@@ -84,11 +84,15 @@ def test_compaction_folds_tombstones(spark, warehouse):
     # tombstones; last batch number decides which state we ended in
     last = metrics[-1]["batch_id"]
     tombs = pipe.store.read("dequeued", schemas.DEQUEUED).count()
+    from loong_spark.pipeline import HOST_STATE_DELTA
+
+    hs_deltas = pipe.store.read("host_state_delta", HOST_STATE_DELTA).count()
     if last % 2 == 0:
         assert _manifest_dirs(warehouse, "queued") == [
             f"d{pipe.store.current_version('queued')}"
         ]
         assert tombs == 0
+        assert hs_deltas == 0  # folded into the base on the same cadence
     else:
         assert tombs <= 20  # at most one batch of removals since the fold
     assert pipe._read_frontier().count() == metrics[-1]["frontier_size"]
