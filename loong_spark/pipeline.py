@@ -666,9 +666,20 @@ class CrawlPipeline:
                 F.posexplode("out_links").alias("link_idx", "href"),
             )
 
-        # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1)
+        # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1).
+        # Written hash-partitioned on (host, salt): docs of one site
+        # cluster into few files for downstream per-site scans, while the
+        # salt splits hot domains (Zipf head) across up to n_salts
+        # partitions so no single writer task absorbs a 10^7-doc host.
+        # Hash-clustering, NOT a dir-per-host layout (10^7 dirs would
+        # drown the metadata layer).
         obs_docs = Observation()
-        st.append("docs", docs_new.observe(obs_docs, F.count(F.lit(1)).alias("n")), schemas.DOCS)
+        docs_out = docs_new.observe(obs_docs, F.count(F.lit(1)).alias("n")).repartition(
+            cfg.shuffle_partitions,
+            F.col("host"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)),
+        )
+        st.append("docs", docs_out, schemas.DOCS)
         n_docs = obs_vals(obs_docs, n=0)["n"]
         n_empty = n_html - n_docs + fvals["n_empty_nonhtml"]
 

@@ -55,6 +55,22 @@ def test_batch_writes_are_o_batch(spark, warehouse):
     hd = _manifest_dirs(warehouse, "host_state_delta")
     assert _dir_rows(spark, warehouse, "host_state_delta", hd[-1]) <= n_hosts
 
+    # docs land hash-clustered on (host, salt): any host's docs touch at
+    # most n_salts files within a batch's data dir (north-rule layout)
+    from pyspark.sql import functions as F
+
+    docs_dirs = _manifest_dirs(warehouse, "docs")
+    per_host_files = (
+        spark.read.parquet(os.path.join(warehouse, "docs", docs_dirs[-1]))
+        .select(F.input_file_name().alias("f"), "host")
+        .distinct()
+        .groupBy("host")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_host_files is not None and per_host_files <= CrawlConfig().n_salts
+
     # arithmetic live size == materialized live view
     assert pipe._read_frontier().count() == m["frontier_size"]
 
