@@ -53,6 +53,7 @@ def cmd_crawl(args) -> int:
         max_batches=args.max_batches,
         fetch_robots=args.fetch_robots,
         log_requests=args.log_requests,
+        download_media=args.download_media,
     )
     pipe = CrawlPipeline(
         spark, args.warehouse, cfg, cookie_jar=_jar_for(args.warehouse, cfg)
@@ -199,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--log-requests", action="store_true",
         help="append per-request UA/cookie headers to a `requests` audit table",
+    )
+    c.add_argument(
+        "--download-media", action="store_true",
+        help="run the S10 media stage per batch: dedup new docs' media refs "
+        "and fetch unseen ones into `media_blobs` (stub kernel in-sandbox)",
     )
     c.add_argument("--demo-pages", type=int, default=300)
     c.add_argument(

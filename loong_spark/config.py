@@ -68,6 +68,15 @@ class CrawlConfig:
     #: keyed by url_hash — the debug/replay store, O(batch) per commit.
     cache_raw_pages: bool = False
 
+    #: S10 media download stage (reference download(url, dir),
+    #: /root/reference/lib/Loong/Lite.pm:50-60 — inline per-asset GETs):
+    #: when True, each batch dedups its new docs' media refs
+    #: (media_manifest), anti-joins refs already in the `media_blobs`
+    #: table (assets download ONCE, not once per referring page), and
+    #: runs the Arrow-batched fetch stage (stub kernel in-sandbox) —
+    #: O(new distinct assets) per batch.
+    download_media: bool = False
+
     #: S4 request assembly audit (reference prepare_http,
     #: /root/reference/lib/Loong/Crawler.pm:267-297): when True, every
     #: scheduled URL's outgoing headers — the rotating-UA pick (U3) and,

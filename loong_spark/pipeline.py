@@ -40,6 +40,7 @@ from .canon import canonicalize_df, host_col, path_col, url_hash_col
 from .config import CrawlConfig, HostPolicy
 from .frontier import ORDER_COLS, eligible, priority_col, robots_allowed, schedule
 from .cookies import prepare_http
+from .media import MEDIA_BLOB, fetch_media, media_manifest
 from .robots import parse_robots, politeness_from_robots
 from .rules import links_of, parse_pages_bytes, spans_of
 from .store import SnapshotStore
@@ -134,7 +135,7 @@ class CrawlPipeline:
         tables = [
             "queued", "dequeued", "seen", "host_state", "host_state_delta",
             "docs", "crawl_order", "metrics", "seen_shards", "politeness",
-            "raw_pages", "requests",
+            "raw_pages", "requests", "media_blobs",
         ]
         ck = {
             "batch_id": batch_id,
@@ -681,6 +682,25 @@ class CrawlPipeline:
         )
         st.append("docs", docs_out, schemas.DOCS)
         n_docs = obs_vals(obs_docs, n=0)["n"]
+
+        # -- S10 media sink: dedup this batch's media refs, anti-join the
+        # already-downloaded set, fetch only the new ones (Lite.pm's
+        # inline per-asset GET re-downloads per referring page — wrong
+        # shape at scale; see media.py). O(new distinct assets) per batch.
+        if cfg.download_media:
+            docs_b = st.read("docs", schemas.DOCS).filter(
+                F.col("fetched_batch") == batch_id
+            )
+            already = (
+                st.read("media_blobs", MEDIA_BLOB)
+                if st.exists("media_blobs")
+                else None
+            )
+            st.append(
+                "media_blobs",
+                fetch_media(media_manifest(docs_b), already),
+                MEDIA_BLOB,
+            )
         n_empty = n_html - n_docs + fvals["n_empty_nonhtml"]
 
         # -- links (O6): canonicalize (P1) --------------------------------
@@ -874,6 +894,8 @@ class CrawlPipeline:
             vac.append("raw_pages")
         if cfg.log_requests:
             vac.append("requests")
+        if cfg.download_media:
+            vac.append("media_blobs")
         for t in vac:
             st.vacuum(t, keep=3)
         return m

@@ -46,3 +46,34 @@ def test_fetch_media_stub_and_incremental(spark):
     already = spark.createDataFrame([("media://x/1.jpg",)], "media_ref string")
     again = fetch_media(m, already=already).collect()
     assert [r["media_ref"] for r in again] == ["media://x/2.jpg"]
+
+
+def test_crawl_loop_media_sink(spark, warehouse):
+    """download_media wires the stage into run_batch: every media ref in
+    the crawled docs is downloaded EXACTLY once across batches."""
+    import hashlib as _h
+
+    from loong_spark.config import CrawlConfig
+    from loong_spark.gen import TINY
+    from loong_spark.media import MEDIA_BLOB
+    from tests.test_pipeline_e2e import make_pipeline
+
+    cfg = CrawlConfig(global_budget=20, use_bloom=False, download_media=True)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run()
+
+    want = {
+        r[0]
+        for r in pipe.store.read("docs")
+        .select(F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "media") & (F.col("s.media_ref") != ""))
+        .select("s.media_ref")
+        .distinct()
+        .collect()
+    }
+    blobs = pipe.store.read("media_blobs", MEDIA_BLOB).collect()
+    got = [r["media_ref"] for r in blobs]
+    assert set(got) == want
+    assert len(got) == len(want)  # once per asset, never per referring page
+    for r in blobs:
+        assert bytes(r["body"]) == _h.md5(r["media_ref"].encode()).hexdigest().encode()
