@@ -48,13 +48,31 @@ def cmd_crawl(args) -> int:
     from loong_spark import schemas
 
     spark = _spark(args)
-    cfg = CrawlConfig(
-        global_budget=args.budget,
-        max_batches=args.max_batches,
-        fetch_robots=args.fetch_robots,
-        log_requests=args.log_requests,
-        download_media=args.download_media,
-    )
+    # S11 config source: a stored config (etcd://host:port or a
+    # FileConfigStore directory) is the BASE; explicit CLI flags overlay
+    if args.config_store:
+        from loong_spark.etcd import EtcdClient, FileConfigStore, load_crawl_config
+
+        store = (
+            EtcdClient(args.config_store[len("etcd://"):])
+            if args.config_store.startswith("etcd://")
+            else FileConfigStore(args.config_store)
+        )
+        cfg = load_crawl_config(store, args.config_key)
+    else:
+        cfg = CrawlConfig()
+    over = {}
+    if args.budget is not None:
+        over["global_budget"] = args.budget
+    if args.max_batches is not None:
+        over["max_batches"] = args.max_batches
+    for flag in ("fetch_robots", "log_requests", "download_media"):
+        if getattr(args, flag):
+            over[flag] = True
+    if over:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **over)
     pipe = CrawlPipeline(
         spark, args.warehouse, cfg, cookie_jar=_jar_for(args.warehouse, cfg)
     )
@@ -194,7 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--graph", help="web_graph parquet (fetch simulator input)")
     c.add_argument("--seeds-file")
     c.add_argument("--politeness", help="politeness table parquet")
-    c.add_argument("--budget", type=int, default=160)
+    c.add_argument("--budget", type=int, default=None)
+    c.add_argument(
+        "--config-store", default=None,
+        help="S11 config source: etcd://host:port or a FileConfigStore dir; "
+        "stored knobs are the base, explicit flags overlay",
+    )
+    c.add_argument("--config-key", default="loong/crawl")
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--demo", action="store_true", help="synthetic fixture graph")
     c.add_argument(

@@ -106,3 +106,37 @@ def test_etcd_client_unreachable_is_clean():
 def test_etcd_client_url_shape():
     c = EtcdClient("10.0.0.5:2379")
     assert c._url("loong/site/hupu") == "http://10.0.0.5:2379/v2/keys/loong/site/hupu"
+
+
+def test_cli_crawl_config_store(capsys, spark, tmp_path):
+    """S11 on the product surface: `crawl --config-store DIR` seeds the
+    run's knobs from the stored JSON; explicit flags overlay it."""
+    import json as _json
+
+    from loong_spark import cli
+    from loong_spark.etcd import FileConfigStore
+    from loong_spark.pipeline import CrawlPipeline
+
+    store = FileConfigStore(tmp_path / "cfgstore")
+    store.set("loong/crawl", {"global_budget": 7, "log_requests": True})
+
+    wh = str(tmp_path / "wh")
+    rc = cli.main([
+        "crawl", "--warehouse", wh, "--demo", "--max-batches", "2",
+        "--config-store", str(tmp_path / "cfgstore"),
+    ])
+    assert rc == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith('{"batch_id"')
+    ]
+    assert [m["batch_id"] for m in lines] == [1, 2]
+
+    # bootstrap persisted the STORED knobs (+ the max-batches overlay)
+    pipe = CrawlPipeline(spark, wh)
+    assert pipe.cfg.global_budget == 7
+    assert pipe.cfg.log_requests is True
+    assert pipe.cfg.max_batches == 2
+    # log_requests came from the store → the requests table exists
+    assert pipe.store.exists("requests")
