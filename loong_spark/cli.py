@@ -51,14 +51,23 @@ def cmd_crawl(args) -> int:
     # S11 config source: a stored config (etcd://host:port or a
     # FileConfigStore directory) is the BASE; explicit CLI flags overlay
     if args.config_store:
-        from loong_spark.etcd import EtcdClient, FileConfigStore, load_crawl_config
+        from loong_spark.etcd import (
+            ConfigSourceUnavailable,
+            EtcdClient,
+            FileConfigStore,
+            load_crawl_config,
+        )
 
         store = (
             EtcdClient(args.config_store[len("etcd://"):])
             if args.config_store.startswith("etcd://")
             else FileConfigStore(args.config_store)
         )
-        cfg = load_crawl_config(store, args.config_key)
+        try:
+            cfg = load_crawl_config(store, args.config_key)
+        except ConfigSourceUnavailable as e:
+            print(f"config store unreachable: {e}", file=sys.stderr)
+            return 2
     else:
         cfg = CrawlConfig()
     over = {}
