@@ -44,3 +44,38 @@ def test_resume_discards_partial_commits(spark, warehouse):
     pipe2 = CrawlPipeline(spark, warehouse, cfg)
     pipe2.run()
     assert_matches_oracle(pipe2, golden)
+
+
+def test_resume_discards_partial_tombstones(spark, warehouse):
+    """Crash AFTER a batch appended its dequeued tombstones (and some
+    host_state deltas) but BEFORE the checkpoint swap: resume must roll
+    both delta tables back, or the re-run batch would double-remove."""
+    from pyspark.sql import functions as F
+
+    from loong_spark import schemas
+    from loong_spark.pipeline import HOST_STATE_DELTA
+
+    cfg = CrawlConfig(global_budget=20, use_bloom=False)
+    golden = run_oracle(TINY, cfg)
+
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run(max_batches=3)
+
+    # partial batch 4: tombstone some live frontier rows + a stray
+    # host_state delta, then "crash" (no checkpoint write)
+    live = pipe._read_frontier().select("seq").limit(3)
+    pipe.store.append("dequeued", live, schemas.DEQUEUED)
+    pipe.store.append(
+        "host_state_delta",
+        pipe.store.read("host_state").limit(1).select(
+            "host",
+            F.lit(999).cast("long").alias("_ne_new"),
+            F.lit(5).cast("long").alias("_added"),
+            F.lit(4).cast("long").alias("batch_id"),
+        ),
+        HOST_STATE_DELTA,
+    )
+
+    pipe2 = CrawlPipeline(spark, warehouse, cfg)
+    pipe2.run()
+    assert_matches_oracle(pipe2, golden)
