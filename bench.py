@@ -195,9 +195,11 @@ def main():
         "frontier_schedule_topk", "politeness_eligibility", "priority_rescore",
         "dedup_anti_join", "upsert_latest", "host_metrics",
         "tpch_q1", "tpch_q3", "tpch_q5",
-        "docs_exact_dedup", "docs_minhash_lsh", "docs_simhash", "docs_quality",
+        "docs_exact_dedup", "docs_minhash_lsh", "docs_minhash_lsh_prod",
+        "docs_simhash", "docs_quality",
         "emb_cosine_topk", "emb_ann_topk",
         "parse_spans", "etl_export", "site_comic_decode",
+        "media_manifest", "robots_parse",
     ]
     qs = entry.queries()
     for name in headline:
@@ -221,6 +223,12 @@ def main():
             "n_scheduled": fb["n_scheduled"],
             "n_admitted": fb["n_admitted"],
             "cpus": cpus,
+            # watch metric: ANN latency over its exact twin at the same
+            # output shape — tracks the multi-table probe overhead
+            # per-round (VERDICT r03 Wrong #4) independent of VM noise
+            "ann_twin_ratio": round(
+                queries["emb_ann_topk"] / max(queries["emb_cosine_topk"], 1e-9), 2
+            ),
             "estimator": "frontier cycles first (fresh JVM), then entry queries each min-of-2",
         },
     }))

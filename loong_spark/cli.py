@@ -48,8 +48,20 @@ def cmd_crawl(args) -> int:
     from loong_spark import schemas
 
     spark = _spark(args)
-    # S11 config source: a stored config (etcd://host:port or a
-    # FileConfigStore directory) is the BASE; explicit CLI flags overlay
+    # Config layering: an existing warehouse's persisted config.json is
+    # the BASE (re-running `crawl` must not silently reset the original
+    # run's knobs — fetch_robots / frontier_deltas flipping mid-crawl
+    # corrupts state); the S11 config store (etcd://host:port or a
+    # FileConfigStore directory) overlays it; explicit CLI flags overlay
+    # last.
+    import os
+
+    saved = os.path.join(args.warehouse, "config.json")
+    if os.path.isfile(saved):
+        with open(saved) as f:
+            cfg = CrawlConfig.from_dict(json.load(f))
+    else:
+        cfg = CrawlConfig()
     if args.config_store:
         from loong_spark.etcd import (
             ConfigSourceUnavailable,
@@ -64,12 +76,10 @@ def cmd_crawl(args) -> int:
             else FileConfigStore(args.config_store)
         )
         try:
-            cfg = load_crawl_config(store, args.config_key)
+            cfg = load_crawl_config(store, args.config_key, base=cfg)
         except ConfigSourceUnavailable as e:
             print(f"config store unreachable: {e}", file=sys.stderr)
             return 2
-    else:
-        cfg = CrawlConfig()
     over = {}
     if args.budget is not None:
         over["global_budget"] = args.budget

@@ -48,6 +48,15 @@ class CrawlConfig:
     n_salts: int = 8
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
+    #: size-aware join strategy for per-batch state tables (host_state
+    #: live view, host_state_delta fold, dequeued tombstones): broadcast
+    #: while the table's on-disk bytes stay under this limit, plain
+    #: shuffle-hash equi-join above it. Mirrors bloom's 32 MB broadcast
+    #: gate (bloom.BROADCAST_LIMIT_BYTES): at 10^7-10^8 known hosts the
+    #: host_state broadcast would be a mandatory multi-GB ship per batch
+    #: — above the limit the frontier shuffles by host instead (it
+    #: shuffles by host for the per-host top-k anyway).
+    broadcast_limit_bytes: int = 32 << 20
 
     # -- in-crawl robots fetch (north-rule polish; the reference has no
     # robots at all — SURVEY.md §7 non-goals) --------------------------------
@@ -88,20 +97,38 @@ class CrawlConfig:
     log_requests: bool = False
     #: UA pool flavor for request assembly ('web' | 'mobile' — U3)
     ua_kind: str = "web"
+    #: S4 proxy rotation (reference `ua.proxy`, applied per site at
+    #: /root/reference/lib/Loong/Crawler.pm:50-52 from conf/site/*/
+    #: crawl.ini, logged at :282): host → list of proxy endpoints; the
+    #: '*' key is the default pool for hosts with no entry. Empty = no
+    #: proxying (the reference's unset-knob case). The per-request pick
+    #: is deterministic (xxhash64(url) % pool size — the same
+    #: hash-for-RNG swap as U3/U4) and logged in the `requests` table.
+    proxy_pools: dict[str, list[str]] = field(default_factory=dict)
 
     # -- frontier persistence ---------------------------------------------
     #: delta-write the frontier: a batch APPENDS its new entries to
     #: `queued` and its removals (scheduled seqs + robots-dropped seqs)
     #: to a `dequeued` tombstone table; reads anti-join the tombstones
-    #: (broadcast — bounded by global_budget × frontier_compact_every).
+    #: (broadcast while under broadcast_limit_bytes — bounded by
+    #: frontier_compact_frac × frontier between folds).
     #: Per-batch frontier write I/O drops from O(frontier) — ~1 TB/batch
     #: at 10^10 URLs under the full rewrite — to O(batch). False = the
     #: original read-modify-write full snapshot per batch.
     frontier_deltas: bool = True
-    #: materialize (apply tombstones, reset `dequeued`) every K batches —
-    #: bounds the tombstone anti-join side and the append-dir count;
-    #: amortized O(frontier/K) write per batch, Iceberg minor-compaction
-    #: style
+    #: fold tombstones into a fresh full `queued` snapshot when the live
+    #: tombstone count exceeds this fraction of the frontier — write
+    #: amplification is then bounded by 1/frac × O(dequeued rows), NOT a
+    #: fixed-cadence O(frontier) rewrite (at 10^10 URLs a 200k budget
+    #: dequeues 0.03% of the frontier in 16 batches; rewriting 10^10
+    #: rows on that cadence is ~60 GB/batch amortized for nothing).
+    #: Tombstone and frontier cardinalities are tracked arithmetically
+    #: in the checkpoint, so the trigger costs zero jobs.
+    frontier_compact_frac: float = 0.05
+    #: fold the host_state delta table into its base every K batches —
+    #: that rewrite is O(known hosts), orders cheaper than O(frontier),
+    #: so a fixed cadence is fine; it bounds the fold side the live
+    #: host_state view unions on.
     frontier_compact_every: int = 16
 
     # -- stopping ----------------------------------------------------------

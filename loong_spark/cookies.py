@@ -34,6 +34,7 @@ Spark-first rebuild:
 from __future__ import annotations
 
 import json
+import re
 import time
 from pathlib import Path
 from typing import Callable, Iterable
@@ -43,6 +44,10 @@ from pyspark.sql import functions as F
 
 #: reference TTL: ``3600*24*7`` (CookieJar.pm:50)
 DEFAULT_TTL_S = 7 * 24 * 3600
+
+#: hosts safe to use as jar filenames: canonical lowercase host tokens
+#: (no '/', no path separators; '.'-only names are rejected separately)
+_SAFE_HOST_RE = re.compile(r"[a-z0-9.\-:@_]+\Z")
 
 
 class CookieGenerationFailed(RuntimeError):
@@ -66,7 +71,13 @@ class CookieJar:
         self.now = now
 
     def _path(self, host: str) -> Path:
-        # hosts are canonical lowercase (canon.py P2); '/' cannot appear
+        # hosts become FILENAMES, and canon admits remote-content-shaped
+        # hosts like '..' (href "http://../x" resolves with host '..') —
+        # which would make _regenerate's tmp.replace() target the jar
+        # directory itself. Reject anything that isn't a plain canonical
+        # host token before it touches the filesystem.
+        if not _SAFE_HOST_RE.fullmatch(host) or host.strip(".") == "":
+            raise ValueError(f"invalid cookie-jar host: {host!r}")
         return self.root / host
 
     def _load(self, host: str) -> dict | None:
@@ -105,8 +116,17 @@ class CookieJar:
 
     def snapshot(self, hosts: Iterable[str]) -> dict[str, list[str]]:
         """Load/refresh every host's pool driver-side. O(live hosts) —
-        the same cardinality as the politeness table, fine to broadcast."""
-        return {h: self.pool_for(h) for h in sorted(set(hosts))}
+        the same cardinality as the politeness table, fine to broadcast.
+        Filesystem-unsafe hosts (remote-content shapes like '..') are
+        SKIPPED — the request goes out with no Cookie header, same as a
+        jar miss — rather than crashing the batch."""
+        out: dict[str, list[str]] = {}
+        for h in sorted(set(hosts)):
+            try:
+                out[h] = self.pool_for(h)
+            except ValueError:
+                continue  # unsafe filename — no jar entry for this host
+        return out
 
 
 def demo_cookie_generator(host: str) -> list[str]:
@@ -138,12 +158,52 @@ def cookie_col(host: Column, key: Column, snapshot: dict[str, list[str]]) -> Col
     return F.element_at(pool, idx)
 
 
-def prepare_http(df, snapshot: dict[str, list[str]] | None = None, ua_kind: str = "web"):
+def proxy_col(
+    host: Column, key: Column, pools: dict[str, list[str]] | None
+) -> Column:
+    """S4 proxy rotation (reference ``ua.proxy``: per-site config applied
+    at /root/reference/lib/Loong/Crawler.pm:50-52 and logged at :282).
+
+    ``pools`` maps host → proxy endpoints, with ``"*"`` as the default
+    pool for hosts that have no entry (a site with no ``ua.proxy`` knob
+    and no default gets NULL — direct connection, the reference's
+    unset-config case). The per-request pick is
+    ``xxhash64(key) % pool size`` — the same deterministic hash-for-RNG
+    swap as the UA pool (U3) and cookie pick (U4), so retries and
+    speculative tasks send identical headers. Pure JVM: the pools fold
+    into the plan as a literal map (config-file cardinality)."""
+    if not pools:
+        return F.lit(None).cast("string")
+    entries: list[Column] = []
+    for h in sorted(k for k in pools if k != "*"):
+        entries.append(F.lit(h))
+        entries.append(F.array(*[F.lit(p) for p in pools[h]]))
+    default = (
+        F.array(*[F.lit(p) for p in pools["*"]])
+        if pools.get("*")
+        else F.lit(None).cast("array<string>")
+    )
+    pool = default
+    if entries:
+        pool = F.coalesce(F.create_map(*entries)[host], default)
+    idx = (F.pmod(F.xxhash64(key), F.size(pool)) + 1).cast("int")
+    return F.when(pool.isNotNull(), F.element_at(pool, idx)).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def prepare_http(
+    df,
+    snapshot: dict[str, list[str]] | None = None,
+    ua_kind: str = "web",
+    proxy_pools: dict[str, list[str]] | None = None,
+):
     """S4 request assembly (Crawler.pm:267-297 ``prepare_http``): attach
-    the rotating ``ua`` pick and, when a jar snapshot is supplied, the
-    per-host ``cookie`` pick as plain columns. Pure JVM projection — the
-    fetch stage (simulated join or mapInPandas HTTP) reads them as
-    headers. Expects ``host`` and ``url`` columns."""
+    the rotating ``ua`` pick, the per-host ``cookie`` pick (when a jar
+    snapshot is supplied), and the per-host ``proxy`` pick (when pools
+    are configured) as plain columns. Pure JVM projection — the fetch
+    stage (simulated join or mapInPandas HTTP) reads them as headers.
+    Expects ``host`` and ``url`` columns."""
     from .sites import ua_pool_col
 
     out = df.withColumn("ua", ua_pool_col(F.col("url"), ua_kind))
@@ -152,4 +212,6 @@ def prepare_http(df, snapshot: dict[str, list[str]] | None = None, ua_kind: str 
         if snapshot
         else F.lit(None).cast("string")
     )
-    return out.withColumn("cookie", cookie)
+    return out.withColumn("cookie", cookie).withColumn(
+        "proxy", proxy_col(F.col("host"), F.col("url"), proxy_pools)
+    )

@@ -51,7 +51,9 @@ class KeyMissing(KeyError):
 
 
 def _check_key(key: str) -> str:
-    if not _KEY_RE.fullmatch(key) or ".." in key:
+    # keys are strictly relative: a leading '/' would make pathlib's
+    # Path(root) / key REPLACE the root (writes escape the store dir)
+    if not _KEY_RE.fullmatch(key) or ".." in key or key.startswith("/"):
         raise ValueError(f"invalid config key: {key!r}")
     return key
 
@@ -159,18 +161,23 @@ class MemoryConfigStore:
 _CFG_FIELDS = {f.name for f in dataclasses.fields(CrawlConfig)}
 
 
-def load_crawl_config(store, key: str = "loong/crawl") -> CrawlConfig:
+def load_crawl_config(store, key: str = "loong/crawl", base: CrawlConfig | None = None) -> CrawlConfig:
     """Build a :class:`CrawlConfig` from the stored JSON dict at ``key``,
-    overlaying defaults. Unknown keys raise (a typo'd knob must not be
-    silently dropped); a missing key returns pure defaults, matching the
-    reference's fall-through to the INI tree (Config.pm:40-59)."""
+    overlaying ``base`` (defaults when None — re-runs on an existing
+    warehouse pass the persisted config.json knobs here so the store only
+    overrides what it sets). Unknown keys raise (a typo'd knob must not
+    be silently dropped); a missing key returns ``base`` unchanged,
+    matching the reference's fall-through to the INI tree
+    (Config.pm:40-59)."""
+    if base is None:
+        base = CrawlConfig()
     try:
         raw = store.get(key)
     except KeyMissing:
-        return CrawlConfig()
+        return base
     if not isinstance(raw, dict):
         raise ValueError(f"config at {key!r} must be a JSON object, got {type(raw).__name__}")
     unknown = set(raw) - _CFG_FIELDS
     if unknown:
         raise ValueError(f"unknown CrawlConfig keys from {key!r}: {sorted(unknown)}")
-    return CrawlConfig(**raw)
+    return dataclasses.replace(base, **raw)

@@ -41,10 +41,23 @@ def priority_col(depth: Column, prior_host_seen: Column, cfg: CrawlConfig) -> Co
     )
 
 
-def eligible(queued: DataFrame, host_state: DataFrame, batch_id: int) -> DataFrame:
+def eligible(
+    queued: DataFrame,
+    host_state: DataFrame,
+    batch_id: int,
+    broadcast_state: bool = True,
+) -> DataFrame:
     """O2 politeness: keep queued rows whose host's next-eligible tick has
-    arrived. host_state is tiny per-host state → broadcast join."""
-    hs = F.broadcast(host_state.select("host", "next_eligible"))
+    arrived. The join strategy is SIZE-AWARE (the caller decides from
+    host_state's on-disk bytes vs config.broadcast_limit_bytes): per-host
+    state broadcasts while small, but at 10^7-10^8 known hosts (the
+    10^10-URL regime) a pinned broadcast is a mandatory multi-GB ship per
+    batch — above the limit this becomes a shuffle-hash equi-join on
+    host (the frontier shuffles by host for the per-host top-k anyway,
+    so the exchange is reused, and the build side is the smaller
+    host_state)."""
+    hs = host_state.select("host", "next_eligible")
+    hs = F.broadcast(hs) if broadcast_state else hs.hint("shuffle_hash")
     return (
         queued.join(hs, "host", "left")
         .filter(F.coalesce(F.col("next_eligible"), F.lit(0)) <= F.lit(batch_id))

@@ -66,6 +66,18 @@ HOST_STATE_DELTA = T.StructType(
     ]
 )
 
+#: seq bit-field widths: seq = batch_id<<40 | parent_rank<<20 | link_idx,
+#: with bit 61 reserved for robots rows. Overflowing any field would
+#: SILENTLY corrupt the pinned total order, so the bounds are enforced
+#: loudly — parent_rank < 2^20 statically (parent_rank < global_budget,
+#: checked at pipeline construction), batch_id < 2^21 per batch (bit 61
+#: headroom: (2^21-1)<<40 < 2^61), link_idx < 2^20 per ROW inside the
+#: seq expression (a single page emitting ≥2^20 links fails the batch
+#: with a clear error instead of reordering the crawl).
+SEQ_LINK_BITS = 20
+SEQ_RANK_BITS = 20
+SEQ_BATCH_MAX = 1 << 21
+
 _CAND = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -80,6 +92,19 @@ _CAND = T.StructType(
         T.StructField("attempt", T.IntegerType(), False),
     ]
 )
+
+
+def seen_anti_join(cand: DataFrame, seen: DataFrame) -> DataFrame:
+    """F1 exact backstop: drop candidates whose url_hash is already in
+    the seen set. The seen side pins ``shuffle_hash``: at 10^10 seen rows
+    a stats mis-estimate must NEVER attempt a driver-side broadcast
+    build of `seen` (same rationale as bench.run_cycle's dedup leg) —
+    candidates are the smaller side and build the hash table per
+    partition. Audited in scripts/explain_audit.py (no Broadcast build
+    of seen even when stats say it's tiny)."""
+    return cand.join(
+        seen.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
+    )
 
 
 def obs_vals(obs: Observation, **defaults: int) -> dict[str, int]:
@@ -120,6 +145,19 @@ class CrawlPipeline:
                 with open(saved) as f:
                     cfg = CrawlConfig.from_dict(json.load(f))
         self.cfg = cfg or CrawlConfig()
+        # seq bit-field bounds (see SEQ_* above): fail loudly at
+        # construction instead of silently corrupting the total order
+        if self.cfg.global_budget >= (1 << SEQ_RANK_BITS):
+            raise ValueError(
+                f"global_budget {self.cfg.global_budget} >= 2^{SEQ_RANK_BITS} "
+                "would overflow the seq parent_rank field and corrupt the "
+                "pinned total order — widen SEQ_RANK_BITS before raising it"
+            )
+        if self.cfg.max_batches >= SEQ_BATCH_MAX:
+            raise ValueError(
+                f"max_batches {self.cfg.max_batches} >= 2^21 would collide "
+                "the seq batch field with the robots bit 61"
+            )
         self.store = SnapshotStore(spark, warehouse)
         self.bloom = BloomFilterManager(spark, self.cfg)
         self.warehouse = warehouse
@@ -131,7 +169,23 @@ class CrawlPipeline:
     def _ckpt_path(self) -> str:
         return os.path.join(self.warehouse, "checkpoint.json")
 
-    def _write_checkpoint(self, batch_id: int, frontier_size: int | None = None) -> None:
+    def _maybe_compact_frontier(self, tomb_rows: int, frontier_size: int) -> int:
+        """Fold tombstones into a fresh full `queued` snapshot when the
+        dead fraction exceeds frontier_compact_frac; returns the new live
+        tombstone count (0 after a fold). Both cardinalities are tracked
+        arithmetically — the trigger costs zero jobs."""
+        if tomb_rows <= self.cfg.frontier_compact_frac * max(frontier_size, 1):
+            return tomb_rows
+        self.store.commit("queued", self._read_frontier())
+        self.store.commit("dequeued", self.spark.createDataFrame([], schemas.DEQUEUED))
+        return 0
+
+    def _write_checkpoint(
+        self,
+        batch_id: int,
+        frontier_size: int | None = None,
+        tomb_rows: int | None = None,
+    ) -> None:
         tables = [
             "queued", "dequeued", "seen", "host_state", "host_state_delta",
             "docs", "crawl_order", "metrics", "seen_shards", "politeness",
@@ -139,9 +193,11 @@ class CrawlPipeline:
         ]
         ck = {
             "batch_id": batch_id,
-            # live-frontier cardinality carried forward so delta mode
-            # never needs a count job over the frontier
+            # live-frontier + tombstone cardinalities carried forward so
+            # delta mode never needs a count job over the frontier (the
+            # compaction trigger and join-size decisions read these)
             "frontier_size": frontier_size,
+            "tomb_rows": tomb_rows,
             "versions": {t: self.store.current_version(t) for t in tables},
         }
         tmp = self._ckpt_path() + ".tmp"
@@ -158,11 +214,30 @@ class CrawlPipeline:
 
     def _seq(self, batch_id: int):
         """seq = batch<<40 | parent_rank<<20 | link_idx (order-isomorphic
-        to the oracle's contiguous counter; see module docstring)."""
+        to the oracle's contiguous counter; see module docstring). Field
+        overflow is guarded loudly (SEQ_* constants): batch_id here,
+        parent_rank at construction (< global_budget), link_idx per row
+        inside the expression — a page emitting ≥2^20 links raises
+        instead of silently reordering its siblings."""
+        if not (0 <= int(batch_id) < SEQ_BATCH_MAX):
+            raise ValueError(
+                f"batch_id {batch_id} outside [0, 2^21) — seq batch field "
+                "would collide with the robots bit 61"
+            )
+        li = F.col("link_idx").cast("long")
+        li_ok = F.when(li < F.lit(1 << SEQ_LINK_BITS), li).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"seq overflow: link_idx >= 2^{SEQ_LINK_BITS} ("),
+                    F.col("link_idx").cast("string"),
+                    F.lit(") — one page emitted too many links"),
+                )
+            )
+        )
         return (
             F.lit(int(batch_id) << 40)
             + F.shiftleft(F.col("parent_rank").cast("long"), 20)
-            + F.col("link_idx").cast("long")
+            + li_ok
         ).cast("long")
 
     # -------------------------------------------------------------- bootstrap
@@ -224,11 +299,15 @@ class CrawlPipeline:
         st.commit("metrics", self.spark.createDataFrame([], schemas.METRICS))
         shards0 = self.spark.createDataFrame([], schemas.SEEN_SHARDS)
         st.commit("seen_shards", self.bloom.updated_shards(shards0, self.bloom.hashed(new_seen), 0))
-        self._write_checkpoint(0, frontier_size=stats["n_entries"])
+        self._write_checkpoint(0, frontier_size=stats["n_entries"], tomb_rows=0)
 
     # ----------------------------------------------------- admission pipeline
     def _admit(
-        self, cand: DataFrame, host_state: DataFrame, batch_id: int
+        self,
+        cand: DataFrame,
+        host_state: DataFrame,
+        batch_id: int,
+        hs_broadcast: bool = True,
     ) -> tuple[DataFrame, DataFrame, dict]:
         """Robots → within-batch dedup → bloom+exact seen anti-join →
         priority → seq. Returns (new queued entries, seen additions, stats).
@@ -318,7 +397,10 @@ class CrawlPipeline:
         # seen filter: bloom prefilter + exact anti-join backstop (F1).
         # broadcast mode probes a driver-loaded snapshot; cogroup mode
         # (the 10^10 path) joins candidates with their shard's bitset —
-        # no driver collect (bloom.maybe_seen_cogroup).
+        # no driver collect (bloom.maybe_seen_cogroup). The exact
+        # anti-join pins shuffle_hash on the seen side: at 10^10 seen
+        # rows a stats mis-estimate must never attempt a driver-side
+        # broadcast build of `seen` (same rationale as bench.run_cycle).
         hashed = self.bloom.hashed(links)
         if self.cfg.use_bloom:
             if self.bloom.mode == "cogroup":
@@ -329,18 +411,20 @@ class CrawlPipeline:
                 hashed = self.bloom.maybe_seen_col(hashed)
             fast_unseen = hashed.filter(~F.col("maybe_seen"))
             maybe = hashed.filter(F.col("maybe_seen"))
-            seen = st.read("seen", schemas.SEEN).select("url_hash")
-            checked = maybe.join(seen, "url_hash", "left_anti")
+            checked = seen_anti_join(maybe, st.read("seen", schemas.SEEN))
             winners = fast_unseen.unionByName(checked).drop("maybe_seen")
         else:
-            seen = st.read("seen", schemas.SEEN).select("url_hash")
-            winners = hashed.join(seen, "url_hash", "left_anti")
+            winners = seen_anti_join(hashed, st.read("seen", schemas.SEEN))
 
         # priority (O7): prior per-host seen count = base + rank-within-batch.
         # Robots rows share their trigger's (parent_rank, link_idx), so the
         # is_robots DESC tie-break pins them FIRST in the per-host rank —
-        # same order the oracle counts them in.
-        hs = F.broadcast(host_state.select("host", "seen_count"))
+        # same order the oracle counts them in. Join strategy is
+        # size-aware like frontier.eligible: candidates shuffle by host
+        # for the rank window anyway, so above broadcast_limit_bytes the
+        # exchange is shared with a shuffle-hash join.
+        hs = host_state.select("host", "seen_count")
+        hs = F.broadcast(hs) if hs_broadcast else hs.hint("shuffle_hash")
         w_host = Window.partitionBy("host").orderBy(
             "parent_rank", "link_idx", F.col("is_robots").desc()
         )
@@ -399,27 +483,38 @@ class CrawlPipeline:
         return new_entries.drop("is_robots"), new_seen, stats
 
     def _read_frontier(self) -> DataFrame:
-        """Live frontier view. In delta mode this is the append-only
-        `queued` table MINUS the `dequeued` tombstones — a broadcast
-        anti-join whose right side is bounded by global_budget ×
-        frontier_compact_every rows (compaction folds + resets it)."""
+        """Live frontier view: the `queued` table MINUS the `dequeued`
+        tombstones. The anti-join runs whenever the tombstone table
+        EXISTS — not only in delta mode — so flipping frontier_deltas
+        off against a delta-mode warehouse cannot resurrect dequeued
+        entries. The tombstone side broadcasts while small (bounded by
+        frontier_compact_frac × frontier between folds) and degrades to
+        a shuffle-hash join past broadcast_limit_bytes."""
         q = self.store.read("queued", schemas.FRONTIER)
-        if not self.cfg.frontier_deltas:
+        if not self.store.exists("dequeued"):
             return q
         tombs = self.store.read("dequeued", schemas.DEQUEUED)
-        return q.join(F.broadcast(tombs), "seq", "left_anti")
+        if self.store.table_bytes("dequeued") <= self.cfg.broadcast_limit_bytes:
+            tombs = F.broadcast(tombs)
+        else:
+            tombs = tombs.hint("shuffle_hash")
+        return q.join(tombs, "seq", "left_anti")
 
     def _read_host_state(self) -> DataFrame:
         """Live host_state. Delta mode: every host has exactly one base
         row (new hosts append a zero row on first sight), and per-batch
         updates fold on — next_eligible = last non-NULL _ne_new by
         batch_id, seen_count = base + Σ_added. The fold side is bounded
-        by frontier_compact_every batches of O(touched hosts) rows, so
-        it broadcasts; compaction folds it into the base."""
+        by frontier_compact_every batches of O(touched hosts) rows; it
+        broadcasts while under broadcast_limit_bytes and shuffle-hash
+        joins above; compaction folds it into the base."""
         base = self.store.read("host_state", HOST_STATE)
         if not self.cfg.frontier_deltas:
             return base
         d = self.store.read("host_state_delta", HOST_STATE_DELTA)
+        fold_small = (
+            self.store.table_bytes("host_state_delta") <= self.cfg.broadcast_limit_bytes
+        )
         fold = d.groupBy("host").agg(
             F.max(
                 F.struct(
@@ -432,7 +527,8 @@ class CrawlPipeline:
             ).alias("_ne"),
             F.sum("_added").alias("_add"),
         )
-        return base.join(F.broadcast(fold), "host", "left").select(
+        fold = F.broadcast(fold) if fold_small else fold.hint("shuffle_hash")
+        return base.join(fold, "host", "left").select(
             "host",
             F.coalesce(F.col("_ne.v"), F.col("next_eligible")).alias("next_eligible"),
             (F.col("seen_count") + F.coalesce(F.col("_add"), F.lit(0))).alias("seen_count"),
@@ -444,13 +540,24 @@ class CrawlPipeline:
         queued = self._read_frontier()
         host_state = self._read_host_state()
         politeness = st.read("politeness", schemas.POLITENESS)
+        # size-aware host_state strategy (metadata probe, zero jobs):
+        # broadcast the per-host state while its on-disk bytes stay under
+        # the limit; equi-join above it (10^7+ known hosts)
+        hs_small = (
+            st.table_bytes("host_state") + st.table_bytes("host_state_delta")
+            <= cfg.broadcast_limit_bytes
+        )
 
         prev_size = None
+        tomb_rows = 0
         if cfg.frontier_deltas:
             ck = self.load_checkpoint()
             prev_size = ck.get("frontier_size") if ck else None
             if prev_size is None:  # pre-delta checkpoint: count once
                 prev_size = queued.count()
+            tomb_rows = ck.get("tomb_rows") if ck else None
+            if tomb_rows is None:  # pre-r4 checkpoint: count once
+                tomb_rows = st.read("dequeued", schemas.DEQUEUED).count()
 
         robots_dropped_q = None  # delta-mode tombstones for rule drops
         if cfg.fetch_robots:
@@ -480,7 +587,7 @@ class CrawlPipeline:
             )
 
         # -- schedule (O1-O4) --------------------------------------------
-        elig = eligible(queued, host_state, batch_id)
+        elig = eligible(queued, host_state, batch_id, broadcast_state=hs_small)
         sched = schedule(elig, politeness, cfg)
         obs_sched = Observation()
         sched = sched.observe(obs_sched, F.count(F.lit(1)).alias("n"))
@@ -516,11 +623,14 @@ class CrawlPipeline:
             if obs_drop is not None:
                 n_qdropped = obs_vals(obs_drop, n=0)["n"]
             prev_size -= n_qdropped
+            tomb_rows += n_qdropped + n_sched
 
         if n_sched == 0:
             fsize = prev_size if cfg.frontier_deltas else queued.count()
+            if cfg.frontier_deltas:
+                tomb_rows = self._maybe_compact_frontier(tomb_rows, fsize)
             m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, 0, frontier_size=fsize)
-            self._write_checkpoint(batch_id, frontier_size=fsize)
+            self._write_checkpoint(batch_id, frontier_size=fsize, tomb_rows=tomb_rows)
             return m
 
         # -- S4 request assembly audit (prepare_http, Crawler.pm:267-297):
@@ -534,14 +644,15 @@ class CrawlPipeline:
                 hosts = [r[0] for r in sched.select("host").distinct().collect()]
                 snap = self.cookie_jar.snapshot(hosts)
             reqs = prepare_http(
-                sched.select("url", "host", "rank"), snap, ua_kind=cfg.ua_kind
+                sched.select("url", "host", "rank"), snap,
+                ua_kind=cfg.ua_kind, proxy_pools=cfg.proxy_pools,
             )
             st.append(
                 "requests",
                 reqs.select(
                     F.lit(batch_id).cast("long").alias("batch_id"),
                     F.col("rank").cast("int").alias("within_batch_rank"),
-                    "url", "host", "ua", "cookie",
+                    "url", "host", "ua", "cookie", "proxy",
                 ),
                 schemas.REQUESTS,
             )
@@ -741,7 +852,9 @@ class CrawlPipeline:
 
         # -- admit new frontier entries ------------------------------------
         cand = links.unionByName(retries)
-        new_entries, new_seen, stats = self._admit(cand, host_state, batch_id)
+        new_entries, new_seen, stats = self._admit(
+            cand, host_state, batch_id, hs_broadcast=hs_small
+        )
         n_deduped = n_links - stats["n_new"] - stats["robots_dropped"]
 
         # -- state updates ---------------------------------------------------
@@ -868,24 +981,27 @@ class CrawlPipeline:
             hosts_new = [r[0] for r in new_pol.select("host").distinct().collect()]
             st.merge_keyed("politeness", new_pol, "host", hosts_new)
 
-        # minor compaction: fold tombstones into a fresh full snapshot and
-        # reset them — keeps the anti-join side and append-dir count
-        # bounded; amortized O(frontier / frontier_compact_every) per batch
-        if (
-            cfg.frontier_deltas
-            and cfg.frontier_compact_every
-            and batch_id % cfg.frontier_compact_every == 0
-        ):
-            st.commit("queued", self._read_frontier())
-            st.commit("dequeued", self.spark.createDataFrame([], schemas.DEQUEUED))
-            st.commit("host_state", self._read_host_state())
-            st.commit("host_state_delta", self.spark.createDataFrame([], HOST_STATE_DELTA))
+        # minor compaction, two independent triggers:
+        # * queued/dequeued fold on TOMBSTONE FRACTION — rewrite the
+        #   frontier only when the dead fraction justifies it, so write
+        #   amplification is bounded by 1/frac × O(tombstones) instead of
+        #   a fixed-cadence O(frontier) rewrite (at 10^10 URLs a 16-batch
+        #   cadence would rewrite the frontier for a 0.03% dead fraction);
+        # * host_state delta folds on batch cadence — that rewrite is
+        #   O(known hosts), orders cheaper than the frontier.
+        if cfg.frontier_deltas:
+            # tomb_rows already includes this batch's n_sched + n_qdropped
+            # (accumulated where the tombstones were appended)
+            tomb_rows = self._maybe_compact_frontier(tomb_rows, frontier_size)
+            if cfg.frontier_compact_every and batch_id % cfg.frontier_compact_every == 0:
+                st.commit("host_state", self._read_host_state())
+                st.commit("host_state_delta", self.spark.createDataFrame([], HOST_STATE_DELTA))
 
         m = self._metrics_row(
             batch_id, n_sched, n_deduped, n_docs, n_links, n_failed, n_empty,
             frontier_size=frontier_size,
         )
-        self._write_checkpoint(batch_id, frontier_size=frontier_size)
+        self._write_checkpoint(batch_id, frontier_size=frontier_size, tomb_rows=tomb_rows)
         vac = [
             "queued", "dequeued", "seen", "host_state", "host_state_delta",
             "seen_shards", "docs", "crawl_order", "metrics", "politeness",
@@ -931,8 +1047,15 @@ class CrawlPipeline:
         if ck is None:
             raise RuntimeError("bootstrap() first")
         for t, v in ck["versions"].items():
-            if v >= 0 and self.store.current_version(t) != v:
+            cur = self.store.current_version(t)
+            if v >= 0 and cur != v:
                 self.store.rollback(t, v)  # undo any partially-committed batch
+            elif v < 0 and cur >= 0:
+                # table did not exist at checkpoint time (first
+                # log_requests / download_media / cache_raw_pages batch
+                # crashed mid-append): drop the partial table or the
+                # re-run batch appends duplicate rows
+                self.store.drop(t)
         batch_id = ck["batch_id"]
         cap = max_batches if max_batches is not None else self.cfg.max_batches
         out = []

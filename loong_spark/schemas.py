@@ -141,8 +141,9 @@ RAW_PAGES = T.StructType(
 )
 
 #: per-request header audit table (S4 request assembly): the exact
-#: rotating-UA + cookie-jar picks the fetch stage would send, one row per
-#: scheduled URL (reference prepare_http, Crawler.pm:267-297) — append-only
+#: rotating-UA, cookie-jar, and proxy picks the fetch stage would send,
+#: one row per scheduled URL (reference prepare_http + ua.proxy,
+#: Crawler.pm:50-52, :267-297) — append-only
 REQUESTS = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -151,6 +152,7 @@ REQUESTS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("ua", T.StringType(), False),
         T.StructField("cookie", T.StringType(), True),
+        T.StructField("proxy", T.StringType(), True),
     ]
 )
 

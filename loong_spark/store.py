@@ -158,6 +158,31 @@ class SnapshotStore:
             out = out.unionByName(df)
         return out
 
+    def table_bytes(self, table: str) -> int:
+        """On-disk bytes of the current snapshot's data dirs — a pure
+        metadata probe (no Spark job), used for size-aware join-strategy
+        decisions (broadcast vs shuffle, config.broadcast_limit_bytes).
+        Keyed-delta entries count their whole dir (masked rows included)
+        — conservative in the safe direction for a broadcast gate. On a
+        real Iceberg catalog this is the snapshot's total-file-size
+        summary field."""
+        v = self.current_version(table)
+        if v < 0:
+            return 0
+        total = 0
+        base = self._tdir(table)
+        for e in self._manifest(table, v):
+            d = os.path.join(base, _entry_dir(e))
+            if not os.path.isdir(d):
+                continue
+            for root, _dirs, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
+        return total
+
     def commit(self, table: str, df: DataFrame) -> int:
         """Write a full new snapshot and swap the pointer (replace)."""
         v = self.current_version(table) + 1

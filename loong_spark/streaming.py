@@ -130,29 +130,52 @@ def politeness_gate_stream(
             state.remove()
             return
         (last_admit,) = state.get if state.exists else (None,)
-        # a host group larger than one Arrow batch arrives as MULTIPLE
-        # chunks — concatenate first so the clock runs in global event-time
-        # order (per-group memory is bounded by assumption; sorting each
-        # chunk independently would admit out-of-order across chunks)
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
-            epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
-            admitted = []
-            for e in epochs:  # per-host sequential clock (tiny groups);
-                # the cross-host work is what parallelizes
+        # A host group larger than one Arrow batch arrives as MULTIPLE
+        # chunks, and chunk order is NOT event-time order, so admission
+        # (which depends on the group's global event-time sequence) needs
+        # every row's key before the clock can run. Memory is bounded by
+        # accumulating ONLY the three 8-byte admission keys per row —
+        # payload columns (value, props: the wide part of EVENTS) are
+        # dropped chunk-by-chunk as they stream in, so a hot host holds
+        # 24 B/row for the trigger, not the full rows (a 10^8-event
+        # trigger group = 2.4 GB keys vs OOM with full rows; bound the
+        # trigger itself with maxFilesPerTrigger for hotter hosts).
+        ts_parts: list = []
+        eid_parts: list = []
+        uid_parts: list = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_parts.append(pdf["ts"].to_numpy())
+                eid_parts.append(pdf["event_id"].to_numpy())
+                uid_parts.append(pdf[host_col].to_numpy())
+        if ts_parts:
+            import numpy as np
+
+            ts = np.concatenate(ts_parts)
+            eid = np.concatenate(eid_parts)
+            uid = np.concatenate(uid_parts)
+            order = np.lexsort((eid, ts))  # event-time order, id tie-break
+            ts, eid, uid = ts[order], eid[order], uid[order]
+            epochs = ts.astype("int64") / 1e9
+            admitted = np.empty(len(ts), dtype=bool)
+            for i, e in enumerate(epochs):  # per-host sequential clock
+                # (tiny per-event work); the cross-host work parallelizes
                 ok = last_admit is None or e - last_admit >= delay_s
                 if ok:
                     last_admit = float(e)
-                admitted.append(ok)
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf[host_col].to_numpy(),
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "ts": pdf["ts"].to_numpy(),
-                    "admitted": admitted,
-                }
-            )
+                admitted[i] = ok
+            # emit in bounded slices: the output frame never doubles the
+            # group's working set
+            step = 1 << 16
+            for s in range(0, len(ts), step):
+                yield pd.DataFrame(
+                    {
+                        "user_id": uid[s : s + step],
+                        "event_id": eid[s : s + step],
+                        "ts": ts[s : s + step],
+                        "admitted": admitted[s : s + step],
+                    }
+                )
         state.update((last_admit,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

@@ -119,6 +119,37 @@ def lsh_probes_col(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
     ])
 
 
+def ann_candidate_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The ANN probe stage alone: distinct (query, vector) pairs sharing
+    ANY of the n_tables sign-buckets — the rows the cosine re-rank will
+    score. Exposed separately so the tuning harness (ann_tuning.py) can
+    measure candidate COST per parameter point; ann_topk consumes it."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(lsh_probes_col(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("probe"),
+    ).select("vec_id", "_v", "probe.table", "probe.bucket")
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("_qv"),
+            F.explode(lsh_probes_col(F.col(qvec_col), dim, n_planes, n_tables, seed)).alias("probe"),
+        ).select("query_id", "_qv", "probe.table", "probe.bucket")
+    )
+    return v.join(q, ["table", "bucket"]).select("query_id", "vec_id", "_v", "_qv").distinct()
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -140,19 +171,10 @@ def ann_topk(
     n_tables × corpus / 2^n_planes — instead of a full cross join; the
     distinct() dedups vectors colliding in several tables BEFORE the
     (expensive) cosine, so each candidate is scored once."""
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(lsh_probes_col(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("probe"),
-    ).select("vec_id", "_v", "probe.table", "probe.bucket")
-    q = F.broadcast(
-        queries.select(
-            F.col(qid_col).alias("query_id"),
-            F.col(qvec_col).alias("_qv"),
-            F.explode(lsh_probes_col(F.col(qvec_col), dim, n_planes, n_tables, seed)).alias("probe"),
-        ).select("query_id", "_qv", "probe.table", "probe.bucket")
+    cand = ann_candidate_pairs(
+        vectors, queries, dim, n_planes, n_tables,
+        id_col, vec_col, qid_col, qvec_col, seed,
     )
-    cand = v.join(q, ["table", "bucket"]).select("query_id", "vec_id", "_v", "_qv").distinct()
     scored = cand.select(
         "query_id", "vec_id",
         F.round(cosine_col(F.col("_v").cast("array<double>"), F.col("_qv").cast("array<double>")), 6).alias("cosine"),

@@ -70,14 +70,74 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def pipeline_plan_checks(spark) -> dict[str, tuple]:
+    """Crawl-loop join-strategy audits (not entry queries): the
+    size-aware host_state strategy at BOTH regimes (frontier.eligible
+    broadcast below config.broadcast_limit_bytes, shuffle-hash equi-join
+    above — the 10^7-host regime must never mandate a multi-GB broadcast
+    per batch) and the admission seen anti-join (pipeline.seen_anti_join:
+    `seen` must NEVER be a broadcast build, whatever stats claim).
+    Returns name -> (df, must_contain, must_not_contain)."""
+    from pyspark.sql import functions as F
+
+    from loong_spark.frontier import eligible
+    from loong_spark.pipeline import seen_anti_join
+
+    queued = spark.range(0, 100_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 1000).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+        F.md5(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("id") % 1000).cast("string"), F.lit(".example")).alias("host"),
+        F.lit(1).alias("depth"),
+        F.lit(1.0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    host_state = spark.range(0, 1000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        (F.col("id") % 7).cast("long").alias("next_eligible"),
+        F.lit(3).cast("long").alias("seen_count"),
+    )
+    seen = spark.range(0, 1000).select(
+        F.md5(F.col("id").cast("string")).alias("url_hash")
+    )
+    cand = queued.select("url_hash", "url", "host")
+    return {
+        # small-regime: per-host state broadcasts (one tiny ship, no
+        # frontier shuffle for eligibility)
+        "pipeline_eligible_broadcast": (
+            eligible(queued, host_state, 5, broadcast_state=True),
+            ["BroadcastHashJoin"], ["SortMergeJoin", "ShuffledHashJoin"],
+        ),
+        # big-regime: host_state past broadcast_limit_bytes → shuffle-hash
+        # equi-join on host (exchange shared with the per-host top-k),
+        # never a mandatory broadcast or a sort-merge
+        "pipeline_eligible_shuffle": (
+            eligible(queued, host_state, 5, broadcast_state=False),
+            ["ShuffledHashJoin"], ["BroadcastHashJoin", "SortMergeJoin"],
+        ),
+        # admission backstop: seen side is TINY here (1000 rows — stats
+        # would pick broadcast), yet the pinned hint must hold: at 10^10
+        # seen rows a mis-estimate broadcasting `seen` kills the driver
+        "pipeline_seen_anti_join": (
+            seen_anti_join(cand, seen),
+            ["ShuffledHashJoin", "LeftAnti"], ["BroadcastHashJoin", "SortMergeJoin"],
+        ),
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit", cores=8)
     qs = entry.queries()
     failures: list[str] = []
     sections: list[str] = []
-    for name, (need, forbid) in CHECKS.items():
-        df = qs[name](spark, sf_dir)
+    audits = [(n, qs[n], need, forbid) for n, (need, forbid) in CHECKS.items()]
+    audits += [
+        (n, (lambda df=df: df), need, forbid)
+        for n, (df, need, forbid) in pipeline_plan_checks(spark).items()
+    ]
+    for name, make_df, need, forbid in audits:
+        df = make_df(spark, sf_dir) if name in CHECKS else make_df()
         # Execute THIS df's plan: AQE only finalizes — and only then
         # annotates codegen stages / chosen join strategies — on an
         # action over the same QueryExecution instance. df.count() or a

@@ -103,6 +103,63 @@ def test_cookie_col_deterministic_and_in_pool(spark, tmp_path):
     assert [r.cookie for r in again] == [r.cookie for r in got]
 
 
+def test_unsafe_host_rejected_and_snapshot_skips(tmp_path):
+    """Hosts become jar FILENAMES, and canon admits remote-content shapes
+    like '..' (href "http://../x" resolves with host '..'): pool_for must
+    reject them before they touch the filesystem, and snapshot() must
+    SKIP them (no Cookie header) instead of crashing the batch."""
+    jar = CookieJar(tmp_path, gen, now=Clock())
+    for bad in ["..", ".", "a/b", "../../etc", "", "A<B"]:
+        with pytest.raises(ValueError, match="invalid cookie-jar host"):
+            jar.pool_for(bad)
+    snap = jar.snapshot(["a.example", "..", "b/../c"])
+    assert set(snap) == {"a.example"}
+    # nothing escaped the jar root
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["a.example"]
+
+
+def test_proxy_col_deterministic_and_config_driven(spark):
+    """S4 proxy rotation (reference ua.proxy, Crawler.pm:50-52): per-host
+    pools with a '*' default; hosts with no pool and no default go direct
+    (NULL); picks are deterministic across re-evaluation."""
+    from loong_spark.cookies import proxy_col
+
+    pools = {
+        "a.example": ["http://p1:3128", "http://p2:3128", "http://p3:3128"],
+        "*": ["http://default:8080"],
+    }
+    rows = [(f"http://a.example/p{i}", "a.example") for i in range(40)] + [
+        (f"http://b.example/p{i}", "b.example") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = df.select(
+        "host", proxy_col(F.col("host"), F.col("url"), pools).alias("proxy")
+    ).collect()
+    for r in got:
+        if r.host == "a.example":
+            assert r.proxy in pools["a.example"]
+        else:
+            assert r.proxy == "http://default:8080"  # '*' fallback
+    # rotation spreads across the pool
+    assert {r.proxy for r in got if r.host == "a.example"} == set(pools["a.example"])
+    # stable across re-evaluation (retry/speculation safety)
+    again = df.select(proxy_col(F.col("host"), F.col("url"), pools).alias("proxy")).collect()
+    assert [r.proxy for r in again] == [r.proxy for r in got]
+
+    # no '*' key: unpooled hosts go DIRECT (the reference's unset knob)
+    no_default = {"a.example": ["http://p1:3128"]}
+    d2 = df.select(
+        "host", proxy_col(F.col("host"), F.col("url"), no_default).alias("proxy")
+    ).collect()
+    assert all(
+        (r.proxy == "http://p1:3128") == (r.host == "a.example") for r in d2
+    )
+    assert all(r.proxy is None for r in d2 if r.host == "b.example")
+    # empty config: every request direct
+    d3 = df.select(proxy_col(F.col("host"), F.col("url"), {}).alias("proxy")).collect()
+    assert all(r.proxy is None for r in d3)
+
+
 def test_prepare_http_assembles_headers(spark, tmp_path):
     jar = CookieJar(tmp_path, gen, now=Clock())
     snap = jar.snapshot(["a.example"])

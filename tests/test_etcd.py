@@ -54,6 +54,19 @@ def test_invalid_key_rejected(store):
             store.set(bad, 1)
 
 
+def test_absolute_key_rejected(store, tmp_path):
+    """A leading '/' would make Path(root) / key REPLACE the root
+    (pathlib absolute-join), letting --config-key escape the store dir —
+    keys are strictly relative."""
+    evil = tmp_path / "evil"
+    for bad in ["/" + str(evil), "/abs", "//x"]:
+        with pytest.raises(ValueError, match="invalid config key"):
+            store.set(bad, {"pwned": 1})
+        with pytest.raises(ValueError, match="invalid config key"):
+            store.get(bad)
+    assert not (tmp_path / "evil.json").exists()
+
+
 def test_file_store_nested_keys(tmp_path):
     s = FileConfigStore(tmp_path / "etcd")
     s.set("loong/site/jrs/crawl", {"interval": 3})
@@ -140,3 +153,39 @@ def test_cli_crawl_config_store(capsys, spark, tmp_path):
     assert pipe.cfg.max_batches == 2
     # log_requests came from the store → the requests table exists
     assert pipe.store.exists("requests")
+
+
+def test_cli_crawl_rerun_keeps_persisted_config(capsys, spark, tmp_path):
+    """Re-running `crawl` on an existing warehouse must layer the
+    persisted config.json as the BASE — knobs from the original run
+    (log_requests here) must not silently reset to defaults when the
+    re-run passes no flags."""
+    import json as _json
+
+    from loong_spark import cli
+    from loong_spark.pipeline import CrawlPipeline
+
+    wh = str(tmp_path / "wh")
+    rc = cli.main([
+        "crawl", "--warehouse", wh, "--demo", "--max-batches", "1",
+        "--log-requests", "--budget", "9",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # second invocation: NO flags — original knobs must survive
+    rc = cli.main(["crawl", "--warehouse", wh, "--max-batches", "3"])
+    assert rc == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith('{"batch_id"')
+    ]
+    assert lines and lines[0]["batch_id"] == 2  # continued, not re-bootstrapped
+
+    pipe = CrawlPipeline(spark, wh)
+    assert pipe.cfg.log_requests is True
+    assert pipe.cfg.global_budget == 9
+    # and the re-run batches kept appending to the audit table
+    reqs = pipe.store.read("requests").collect()
+    assert {r.batch_id for r in reqs} >= {1, 2}

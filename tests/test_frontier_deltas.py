@@ -31,7 +31,12 @@ def _manifest_dirs(warehouse, table):
 def test_batch_writes_are_o_batch(spark, warehouse):
     """The newest queued data dir holds ONLY the batch's new entries and
     the newest dequeued dir ONLY its removals — not the whole frontier."""
-    cfg = CrawlConfig(global_budget=5, use_bloom=False, frontier_compact_every=100)
+    # frac=1e9 disables tombstone-fraction folds so every batch's write
+    # shape is observable as its own data dir
+    cfg = CrawlConfig(
+        global_budget=5, use_bloom=False,
+        frontier_compact_every=100, frontier_compact_frac=1e9,
+    )
     pipe = make_pipeline(spark, warehouse, TINY, cfg)
     metrics = pipe.run(max_batches=4)
     m = metrics[-1]
@@ -42,6 +47,21 @@ def test_batch_writes_are_o_batch(spark, warehouse):
     # newest dir = links admitted + retries that batch, NOT the frontier
     assert newest_q <= m["links_discovered"] + m["failed"]
     assert newest_q < m["frontier_size"]
+
+    # write amplification: total rows ever written to queued == bootstrap
+    # entries + Σ per-batch admissions — NO batch rewrote the frontier
+    # (the tombstone-fraction trigger never fired)
+    total_written = sum(_dir_rows(spark, warehouse, "queued", d) for d in qdirs)
+    boot_rows = _dir_rows(spark, warehouse, "queued", qdirs[0])
+    admitted = sum(
+        _dir_rows(spark, warehouse, "queued", d) for d in qdirs[1:]
+    )
+    assert total_written == boot_rows + admitted  # dirs are disjoint appends
+    live = m["frontier_size"]
+    # every written row is either still live or tombstoned — nothing was
+    # written twice (amplification factor exactly 1.0 between folds)
+    tombs_total = pipe.store.read("dequeued", schemas.DEQUEUED).count()
+    assert total_written == live + tombs_total
 
     ddirs = _manifest_dirs(warehouse, "dequeued")
     newest_d = _dir_rows(spark, warehouse, "dequeued", ddirs[-1])
@@ -88,30 +108,48 @@ def test_batch_writes_are_o_batch(spark, warehouse):
 
 
 def test_compaction_folds_tombstones(spark, warehouse):
-    """Every frontier_compact_every batches the tombstones fold into a
-    fresh full snapshot and reset; results still match the oracle."""
-    cfg = CrawlConfig(global_budget=20, use_bloom=False, frontier_compact_every=2)
+    """The queued/dequeued fold triggers on TOMBSTONE FRACTION (any dead
+    row with frac=0.0 → every batch folds); host_state deltas fold on the
+    batch cadence; results still match the oracle."""
+    cfg = CrawlConfig(
+        global_budget=20, use_bloom=False,
+        frontier_compact_every=2, frontier_compact_frac=0.0,
+    )
     golden = run_oracle(TINY, cfg)
     pipe = make_pipeline(spark, warehouse, TINY, cfg)
     metrics = pipe.run()
 
     assert_matches_oracle(pipe, golden)
-    # a compacting batch leaves exactly one live queued dir and zero
-    # tombstones; last batch number decides which state we ended in
-    last = metrics[-1]["batch_id"]
-    tombs = pipe.store.read("dequeued", schemas.DEQUEUED).count()
+    # frac=0.0: every batch that dequeued anything folded → exactly one
+    # live queued dir and zero tombstones at rest
+    assert _manifest_dirs(warehouse, "queued") == [
+        f"d{pipe.store.current_version('queued')}"
+    ]
+    assert pipe.store.read("dequeued", schemas.DEQUEUED).count() == 0
     from loong_spark.pipeline import HOST_STATE_DELTA
 
+    last = metrics[-1]["batch_id"]
     hs_deltas = pipe.store.read("host_state_delta", HOST_STATE_DELTA).count()
     if last % 2 == 0:
-        assert _manifest_dirs(warehouse, "queued") == [
-            f"d{pipe.store.current_version('queued')}"
-        ]
-        assert tombs == 0
-        assert hs_deltas == 0  # folded into the base on the same cadence
-    else:
-        assert tombs <= 20  # at most one batch of removals since the fold
+        assert hs_deltas == 0  # folded into the base on the cadence
     assert pipe._read_frontier().count() == metrics[-1]["frontier_size"]
+
+
+def test_compaction_trigger_respects_fraction(spark, warehouse):
+    """With the default-ish fraction the fold fires only when the dead
+    fraction crosses it — not on a batch cadence. We pin the trigger
+    arithmetic directly on _maybe_compact_frontier."""
+    cfg = CrawlConfig(global_budget=5, use_bloom=False, frontier_compact_frac=0.25)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run(max_batches=1)
+    v_before = pipe.store.current_version("queued")
+    # below threshold: no fold, tomb count passes through
+    assert pipe._maybe_compact_frontier(10, 1000) == 10
+    assert pipe.store.current_version("queued") == v_before
+    # above threshold: fold — queued rewritten, dequeued reset, count 0
+    assert pipe._maybe_compact_frontier(300, 1000) == 0
+    assert pipe.store.current_version("queued") == v_before + 1
+    assert pipe.store.read("dequeued", schemas.DEQUEUED).count() == 0
 
 
 def test_full_rewrite_mode_still_matches(spark, warehouse):

@@ -158,3 +158,34 @@ def test_charset_roundtrip(text, charset, declare):
     ctype = f"text/html; charset={charset}" if declare == "header" else "text/html"
     decoded = decode_body(ctype, body)
     assert text in decoded
+
+
+# -- seq bit-packing (pipeline total order) ----------------------------------
+
+from loong_spark.pipeline import SEQ_BATCH_MAX, SEQ_LINK_BITS, SEQ_RANK_BITS
+
+
+def _pack_seq(batch: int, rank: int, idx: int) -> int:
+    return (batch << 40) | (rank << SEQ_LINK_BITS) | idx
+
+
+_seq_tuple = st.tuples(
+    st.integers(0, SEQ_BATCH_MAX - 1),
+    st.integers(0, (1 << SEQ_RANK_BITS) - 1),
+    st.integers(0, (1 << SEQ_LINK_BITS) - 1),
+)
+
+
+@given(a=_seq_tuple, b=_seq_tuple)
+@settings(max_examples=500, deadline=None)
+@example(a=(SEQ_BATCH_MAX - 1, (1 << 20) - 1, (1 << 20) - 1), b=(0, 0, 0))
+@example(a=(0, 1, 0), b=(0, 0, (1 << 20) - 1))  # rank beats max link_idx
+def test_seq_packing_is_order_isomorphic(a, b):
+    """Within the guarded field bounds, packed-seq order == lexicographic
+    (batch_id, parent_rank, link_idx) order, and the packed value never
+    reaches the robots bit 61 — the invariants the construction-time and
+    in-expression guards (pipeline.SEQ_*) protect."""
+    pa, pb = _pack_seq(*a), _pack_seq(*b)
+    assert (pa < pb) == (a < b)
+    assert (pa == pb) == (a == b)
+    assert 0 <= pa < (1 << 61)  # robots rows (bit 61 set) stay unique

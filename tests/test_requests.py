@@ -53,6 +53,37 @@ def test_requests_without_jar_logs_null_cookie(spark, warehouse):
     assert all(r.ua in UA_POOL["web"] for r in reqs)
 
 
+def test_requests_carry_proxy_when_configured(spark, warehouse):
+    """S4 proxy rotation end-to-end: with proxy_pools configured the
+    audit table logs the per-host pick next to ua/cookie (reference
+    ua.proxy, Crawler.pm:50-52, logged at :282); the pick is
+    deterministic per URL and absent when no pool applies."""
+    from loong_spark.gen import graph_rows_for_spark
+
+    hosts = sorted({r["host"] for r in graph_rows_for_spark(TINY)})
+    pooled = hosts[0]
+    pools = {pooled: ["http://px-a:3128", "http://px-b:3128"]}
+    cfg = CrawlConfig(
+        global_budget=20, use_bloom=False, log_requests=True, proxy_pools=pools
+    )
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    pipe.run(max_batches=3)
+    reqs = pipe.store.read("requests", schemas.REQUESTS).collect()
+    assert reqs
+    saw_pooled = False
+    for r in reqs:
+        if r.host == pooled:
+            assert r.proxy in pools[pooled]
+            saw_pooled = True
+        else:
+            assert r.proxy is None  # no pool, no '*' default → direct
+    assert saw_pooled
+    # determinism: equal URL → equal proxy pick across batches/retries
+    by_url = {}
+    for r in reqs:
+        assert by_url.setdefault(r.url, r.proxy) == r.proxy
+
+
 def test_resume_restores_config_and_request_log(spark, warehouse, tmp_path):
     """resume must continue with the ORIGINAL knobs (config.json), not
     defaults — and keep appending to the request log with the SAME

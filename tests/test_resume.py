@@ -46,6 +46,35 @@ def test_resume_discards_partial_commits(spark, warehouse):
     assert_matches_oracle(pipe2, golden)
 
 
+def test_resume_drops_tables_missing_at_checkpoint(spark, warehouse):
+    """Crash during the FIRST log_requests batch, after its partial
+    `requests` append but before the checkpoint swap: the checkpointed
+    version is -1 (the table didn't exist yet), so resume must DROP the
+    partial table — otherwise the re-run batch appends duplicate audit
+    rows (requests has no self-healing anti-join, unlike media_blobs)."""
+    from loong_spark import schemas
+
+    cfg = CrawlConfig(global_budget=20, use_bloom=False, log_requests=True)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)  # checkpoint @ batch 0
+
+    # partial batch 1: the requests append landed, nothing else did
+    stray = spark.createDataFrame(
+        [(1, 0, "http://stray.example/", "stray.example", "UA/1.0", None, None)],
+        schemas.REQUESTS,
+    )
+    pipe.store.append("requests", stray, schemas.REQUESTS)
+
+    pipe2 = CrawlPipeline(spark, warehouse, cfg)
+    pipe2.run()
+    reqs = pipe2.store.read("requests", schemas.REQUESTS).collect()
+    order = pipe2.store.read("crawl_order").collect()
+    assert len(reqs) == len(order)  # the stray partial append is gone
+    assert {(r.batch_id, r.within_batch_rank, r.url) for r in reqs} == {
+        (o.batch_id, o.within_batch_rank, o.url) for o in order
+    }
+    assert all(r.url != "http://stray.example/" for r in reqs)
+
+
 def test_resume_discards_partial_tombstones(spark, warehouse):
     """Crash AFTER a batch appended its dequeued tombstones (and some
     host_state deltas) but BEFORE the checkpoint swap: resume must roll

@@ -95,3 +95,44 @@ def test_politeness_gate_matches_oracle(spark, event_files, tmp_path):
     assert len(got) == len(expected)
     assert got == expected
     assert any(expected.values()) and not all(expected.values())  # non-trivial
+
+
+def test_gate_group_larger_than_one_arrow_batch(spark, tmp_path):
+    """A hot host whose micro-batch group spans MANY Arrow chunks (the
+    per-group memory-bound path: maxRecordsPerBatch lowered to 16) still
+    admits in exact global event-time order — chunk boundaries and the
+    shuffled on-disk row order must not leak into the clock."""
+    import random
+    from datetime import datetime, timedelta
+
+    delay = 30.0
+    n = 400  # one host, one trigger file → one group of 25 Arrow chunks
+    rows = [(i, datetime(2026, 1, 1) + timedelta(seconds=7 * i)) for i in range(n)]
+    random.Random(42).shuffle(rows)  # on-disk order != event-time order
+    df = spark.createDataFrame(
+        [(eid, ts, 7, "fetch", 1.0, "{}") for eid, ts in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src = str(tmp_path / "hot_events")
+    df.coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = run_available_now(
+            politeness_gate_stream(read_event_stream(spark, src), delay_s=delay),
+            str(tmp_path / "ck_hot"),
+            "gate_hot",
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    # sequential oracle over event-time order: 7 s spacing, 30 s delay →
+    # every 5th event admits
+    expected = {eid: (eid % 5 == 0) for eid, _ in rows}
+    got = {r["event_id"]: r["admitted"] for r in out}
+    assert len(got) == n
+    assert got == expected

@@ -283,3 +283,38 @@ def test_ann_topk_recall_10x(spark):
     total = sum(len(s) for s in exact_sets.values())
     assert len(exact_sets) >= 10
     assert hits / total >= 0.9, f"recall {hits}/{total} at 10x corpus"
+
+
+def test_ann_tuning_sweep(spark):
+    """The (n_planes, n_tables) tuning harness: recall/cost measured vs
+    the exact baseline; more tables at the same planes never hurts recall
+    (supersets of candidates, deterministic seeds) and always costs more;
+    best_params picks the cheapest point over the recall floor."""
+    from loong_spark.text.ann_tuning import best_params, sweep_ann_params
+
+    # dups_per=4 → 5-member clusters: the true top-5 is the cluster, so
+    # recall measures the LSH probes, not luck on a random 5th neighbor
+    rows = _clustered_vectors(n_base=60, dups_per=4, dim=16, seed=31)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 60 == 0],
+        "query_id int, embedding array<float>",
+    )
+    grid = [(6, 1), (6, 4), (8, 8)]
+    sweep = sweep_ann_params(vecs, qs, dim=16, k=5, grid=grid)
+    by = {(r["n_planes"], r["n_tables"]): r for r in sweep}
+    assert set(by) == set(grid)
+    # more tables at fixed planes: candidate set is a superset → recall
+    # monotone non-decreasing, cost strictly up (extra probe tables)
+    assert by[(6, 4)]["recall_at_k"] >= by[(6, 1)]["recall_at_k"]
+    assert by[(6, 4)]["candidates_per_query"] >= by[(6, 1)]["candidates_per_query"]
+    # every point beats brute force on cost
+    assert all(r["cost_fraction"] < 1.0 for r in sweep)
+    # the shipped-parameter neighborhood reaches the 0.9 recall floor
+    best = best_params(sweep, min_recall=0.9)
+    assert best is not None
+    # cheapest qualifying point: nothing qualifying is cheaper
+    assert all(
+        r["cost_fraction"] >= best["cost_fraction"]
+        for r in sweep if r["recall_at_k"] >= 0.9
+    )
