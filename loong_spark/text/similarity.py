@@ -8,10 +8,11 @@
   results are reproducible without storing the planes.
 * embedding-cosine near-dup — pairs with cosine ≥ threshold.
 
-Everything JVM-side (F.zip_with, F.aggregate, higher-order functions);
-no Python in the hot path. For very wide vectors a pandas UDF with
-numpy.dot beats aggregate() — provided as `cosine_pandas` and used when
-dim ≥ 256 (Arrow-batched, still no per-row Python).
+Scalar cosine stays JVM-side (F.zip_with, F.aggregate); BULK linear
+algebra is Arrow-batched numpy — `cosine_pandas` for wide vectors and
+`make_lsh_probes_udf` for probe generation (one matmul per batch; the
+interpreted higher-order-function fold costs ~100× per dot product and
+measurably dominated the corpus scan). Never per-row Python.
 """
 
 from __future__ import annotations
@@ -109,7 +110,14 @@ def lsh_probes_col(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
     table (independent hyperplane sets). Exploding this and equi-joining
     on (table, bucket) gives multi-table LSH in ONE shuffle instead of
     n_tables unions; per-pair recall = 1-(1-p^n_planes)^n_tables where p
-    is the per-plane collision probability (≈ 1-θ/π)."""
+    is the per-plane collision probability (≈ 1-θ/π).
+
+    This is the JVM REFERENCE implementation: n_tables × n_planes
+    interpreted higher-order-function dot products per row cost ~100×
+    a numpy matmul and dominate the corpus scan (measured: the probe
+    projection alone ran 7× the full brute-force cosine at sf0.1) — the
+    hot paths use :func:`make_lsh_probes_udf`, whose bucket equality
+    with this expression is test-pinned."""
     return F.array(*[
         F.struct(
             F.lit(t).alias("table"),
@@ -117,6 +125,39 @@ def lsh_probes_col(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
         )
         for t in range(n_tables)
     ])
+
+
+def _planes_matrix(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """(n_tables·n_planes, dim) ±1 hyperplane matrix, same derivation
+    order as lsh_probes_col (table-major, seed + 7919·t per table)."""
+    rows = []
+    for t in range(n_tables):
+        s = seed + 7919 * t
+        for p in range(n_planes):
+            rows.append(_hyperplane(s, p, dim))
+    return np.asarray(rows, dtype=np.float64)
+
+
+def make_lsh_probes_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """Arrow-batched probe generator: ``array<int>`` of one sign-bucket
+    per table (index = table id — posexplode recovers (table, bucket)).
+    One float64 matmul per Arrow batch (``V @ P.T``) replaces
+    n_tables × n_planes interpreted HOF folds per ROW; the hyperplanes
+    fold into the closure (config-sized), so executors pay no lookup.
+    Produces bit-identical buckets to lsh_probes_col except where a dot
+    product is within float summation-order rounding of exactly 0 —
+    pinned by tests/test_text_ops.py::test_probes_udf_matches_jvm."""
+    planes = _planes_matrix(dim, n_planes, n_tables, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes.T) >= 0  # (n, n_tables·n_planes)
+        buckets = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return probes
 
 
 def ann_candidate_pairs(
@@ -134,18 +175,21 @@ def ann_candidate_pairs(
     """The ANN probe stage alone: distinct (query, vector) pairs sharing
     ANY of the n_tables sign-buckets — the rows the cosine re-rank will
     score. Exposed separately so the tuning harness (ann_tuning.py) can
-    measure candidate COST per parameter point; ann_topk consumes it."""
+    measure candidate COST per parameter point; ann_topk consumes it.
+    Probe generation is the Arrow-batched matmul (make_lsh_probes_udf) —
+    one numpy product per batch, not per-row HOF folds."""
+    probes = make_lsh_probes_udf(dim, n_planes, n_tables, seed)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(lsh_probes_col(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("probe"),
-    ).select("vec_id", "_v", "probe.table", "probe.bucket")
+        F.posexplode(probes(F.col(vec_col))).alias("table", "bucket"),
+    )
     q = F.broadcast(
         queries.select(
             F.col(qid_col).alias("query_id"),
             F.col(qvec_col).alias("_qv"),
-            F.explode(lsh_probes_col(F.col(qvec_col), dim, n_planes, n_tables, seed)).alias("probe"),
-        ).select("query_id", "_qv", "probe.table", "probe.bucket")
+            F.posexplode(probes(F.col(qvec_col))).alias("table", "bucket"),
+        )
     )
     return v.join(q, ["table", "bucket"]).select("query_id", "vec_id", "_v", "_qv").distinct()
 
@@ -211,10 +255,11 @@ def cosine_near_dup_pairs(
     if not exact:
         if dim is None:
             raise ValueError("dim is required for the LSH path (exact=False)")
+        probes = make_lsh_probes_udf(dim, n_planes, n_tables, seed)
         probed = v.select(
             "vec_id", "_v",
-            F.explode(lsh_probes_col(F.col("_v"), dim, n_planes, n_tables, seed)).alias("probe"),
-        ).select("vec_id", "_v", "probe.table", "probe.bucket")
+            F.posexplode(probes(F.col("_v"))).alias("table", "bucket"),
+        )
         a, b = probed.alias("a"), probed.alias("b")
         pairs = (
             a.join(

@@ -318,3 +318,30 @@ def test_ann_tuning_sweep(spark):
         r["cost_fraction"] >= best["cost_fraction"]
         for r in sweep if r["recall_at_k"] >= 0.9
     )
+
+
+def test_probes_udf_matches_jvm(spark):
+    """The Arrow-batched probe matmul (the hot path) must produce the
+    SAME (table, bucket) keys as the JVM reference expression — bucket
+    equality is what makes the fast path a pure implementation swap."""
+    from pyspark.sql import functions as F
+
+    from loong_spark.text.similarity import lsh_probes_col, make_lsh_probes_udf
+
+    rows = _clustered_vectors(n_base=25, dups_per=3, dim=16, seed=17)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    jvm = {
+        (r.vec_id, r.table, r.bucket)
+        for r in vecs.select(
+            "vec_id",
+            F.explode(lsh_probes_col(F.col("embedding"), 16, 6, 4)).alias("p"),
+        ).select("vec_id", "p.table", "p.bucket").collect()
+    }
+    udf = make_lsh_probes_udf(16, 6, 4)
+    fast = {
+        (r.vec_id, r.table, r.bucket)
+        for r in vecs.select(
+            "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table", "bucket")
+        ).collect()
+    }
+    assert fast == jvm
