@@ -470,6 +470,32 @@ def q_media_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lite_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 one-call Lite flow (lite.lite_scrape; reference Lite.pm:14-88
+    + script/tumblr.pl) exercised end-to-end THROUGH THE HTML PARSER:
+    pages render deterministically from the documents table (span text =
+    md5(text) — HTML-safe; one shared media asset per doc_id % 50), then
+    dispatch → parse (mapInPandas) → media manifest. The oracle restates
+    the expected manifest straight from doc arithmetic, so a parse or
+    manifest bug breaks the hash — this is the strongest SQL-stateable
+    check of the real parse kernel."""
+    from loong_spark.lite import lite_scrape
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://docs.example/p/"), F.col("doc_id").cast("string"))
+    ref = F.concat(
+        F.lit("http://cdn.example/a/"),
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.lit(".jpg"),
+    )
+    body = F.concat(
+        F.lit("<p>"), F.md5(F.encode(F.col("text"), "utf-8")),
+        F.lit('</p><img src="'), ref, F.lit('">'),
+    )
+    pages = d.select(url.alias("url"), body.alias("body"))
+    return lite_scrape(pages)["media"].select("media_ref", "n_refs", "first_doc")
+
+
 def q_site_comic_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 obfuscated image-URL cipher (sites.decode_comic_image_col,
     ref lib/Loong/Scraper/Hhssee.pm:131-166): each doc plants a
@@ -768,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": q_mm_video_frames,
         "mm_resize_meta": q_mm_resize_meta,
         "media_manifest": q_media_manifest,
+        "lite_scrape": q_lite_scrape,
         "media_fetch": q_media_fetch,
     }
 
@@ -1248,6 +1275,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_ref, 32 AS n_bytes, md5(md5(media_ref)) AS body_md5
             FROM refs""",
+        "lite_scrape": """
+            WITH pages AS (
+              SELECT 'http://docs.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     'http://cdn.example/a/' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.jpg' AS media_ref
+              FROM documents
+            )
+            SELECT media_ref, count(*) AS n_refs, min(md5(url)) AS first_doc
+            FROM pages GROUP BY 1""",
         # approx_distinct, emb_ann_topk, mm_resize_meta: intentionally no
         # oracle (sketch / approximate / non-SQL stub ops; pytest covers
         # bounds and determinism).
