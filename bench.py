@@ -199,7 +199,7 @@ def main():
         "docs_simhash", "docs_quality",
         "emb_cosine_topk", "emb_ann_topk",
         "parse_spans", "etl_export", "site_comic_decode",
-        "media_manifest", "robots_parse",
+        "media_manifest", "robots_parse", "lite_scrape",
     ]
     qs = entry.queries()
     for name in headline:

@@ -43,14 +43,19 @@ def lite_scrape(pages: DataFrame, fetch: bool = False) -> dict[str, DataFrame]:
     (the reference's Lite re-fetches per referring page — wrong shape
     at scale, see media.py)."""
     routed = site_dispatch(pages)
-    effective = (
-        pages.join(routed.select("url", "unwrapped_html"), "url")
-        .select(
-            "url",
-            F.coalesce(F.col("unwrapped_html"), F.col("body")).alias("body"),
-        )
-    )
-    parsed = parse_pages(effective)
+    # effective body computed IN the projection (same route match the
+    # dispatch uses) — joining pages back onto routed would shuffle the
+    # body column, i.e. the whole page corpus, on url at scale
+    from .rules import route_match_col
+    from .sites import site_routes, unwrap_document_write_col
+
+    routes = site_routes()
+    rid = route_match_col(F.col("url"), [r for r, _ in routes])
+    js_ids = [i for i, (r, _) in enumerate(routes) if r.name == "js_wrapped"]
+    eff = F.col("body")
+    for i in js_ids:
+        eff = F.when(rid == i, unwrap_document_write_col(F.col("body"))).otherwise(eff)
+    parsed = parse_pages(pages.select("url", eff.alias("body")))
     spans = spans_of(parsed)
     out = {
         "routed": routed,
