@@ -67,6 +67,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "site_date_norm": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]),
     # U1 parse path: Arrow-batched mapInPandas, no per-row Python UDF
     "parse_spans": (["MapInPandas"], ["BatchEvalPython"]),
+    # §3.3 Lite flow: dispatch + effective-body selection ride the page
+    # scan (no join — joining pages onto routed would shuffle the body
+    # corpus); parse is Arrow-batched; only the span/manifest groupBys
+    # exchange
+    "lite_scrape": (
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
 }
 
 
