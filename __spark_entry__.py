@@ -26,7 +26,7 @@ from loong_spark.text.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     connected_components,
-    simhash_col,
+    make_simhash_udf,
     simhash_near_duplicates,
 )
 from loong_spark.text.quality import (
@@ -356,7 +356,12 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash"))
+    # Arrow-batched fingerprint (one md5 per token); bit-identical to
+    # the JVM simhash_col reference — equality test-pinned, and this
+    # row's DuckDB oracle hash is the cross-engine proof
+    return d.select(
+        "doc_id", make_simhash_udf(bits=16)(F.col("text")).alias("simhash")
+    )
 
 
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

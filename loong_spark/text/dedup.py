@@ -24,8 +24,15 @@ bands × 40. Exact-pair verification joins only within candidate buckets.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def normalized_text(col):
@@ -251,7 +258,13 @@ def connected_components(
 def simhash_col(text_col, bits: int = 16):
     """SimHash fingerprint as an integer column, built-ins only:
     per token, md5 → take `bits` hex-derived bits; fingerprint bit b is
-    the sign of Σ_tokens (±1). Deterministic and oracle-reproducible."""
+    the sign of Σ_tokens (±1). Deterministic and oracle-reproducible.
+
+    This is the JVM REFERENCE implementation: ``bits`` interpreted
+    higher-order-function aggregates re-hash every token once per bit —
+    the hot paths use :func:`make_simhash_udf` (one md5 per token,
+    vectorized bit spread), equality-pinned by
+    tests/test_text_ops.py::test_simhash_udf_matches_jvm."""
     tokens = F.array_distinct(F.split(normalized_text(text_col), " "))
     # per token: integer whose low `bits` bits come from md5 hex
     tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
@@ -269,6 +282,40 @@ def simhash_col(text_col, bits: int = 16):
     for b, term in enumerate(terms):
         out = out + F.when(term > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def make_simhash_udf(bits: int = 16):
+    """Arrow-batched SimHash twin of :func:`simhash_col`: one md5 per
+    DISTINCT token (the JVM expression re-hashes every token per bit),
+    bits spread with numpy. Bit-identical by construction — same
+    normalization (Java-\\s whitespace classes, NOT Python's
+    unicode-aware \\s), same ``int(md5[:15], 16)`` token hash, same
+    sign-of-sum per bit; the equality is test-pinned against the JVM
+    expression on real fixture text."""
+    # Java regex \s = [ \t\n\x0B\f\r] — Python's \s would also eat
+    # unicode spaces and diverge from the JVM normalization
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            # .strip(" "): Spark's trim removes ASCII spaces ONLY —
+            # Python's bare .strip() would also eat \t\n and diverge
+            norm = _ws.sub(" ", ("" if t is None else str(t)).strip(" ").lower())
+            # dict.fromkeys = array_distinct (dedup, order irrelevant)
+            toks = list(dict.fromkeys(norm.split(" ")))
+            h = np.fromiter(
+                (int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) for tok in toks),
+                dtype=np.int64, count=len(toks),
+            )
+            tok_bits = (h[:, None] >> np.arange(bits)) & 1  # (n_tok, bits)
+            terms = (2 * tok_bits - 1).sum(axis=0)  # Σ ±1 per bit
+            out[i] = int(((terms > 0) * weights).sum())
+        return pd.Series(out)
+
+    return simhash
 
 
 def simhash_near_duplicates(
@@ -291,7 +338,8 @@ def simhash_near_duplicates(
     base = bits // n_blocks
     rem = bits % n_blocks  # first `rem` blocks get one extra bit
     s = docs.select(
-        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), bits).alias("simhash")
+        F.col(id_col).alias("doc_id"),
+        make_simhash_udf(bits)(F.col(text_col)).alias("simhash"),
     )
     blocks = []
     off = 0
@@ -332,7 +380,9 @@ def simhash_duplicates(
     """Docs sharing an identical 16-bit simhash bucket (hamming-0 match;
     see simhash_near_duplicates for hamming-k probing). member_ids capped
     at ``max_members`` like exact_duplicates; group_size stays exact."""
-    s = docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash"))
+    s = docs.select(
+        F.col(id_col).alias("doc_id"), make_simhash_udf()(F.col(text_col)).alias("simhash")
+    )
     return (
         s.groupBy("simhash")
         .agg(

@@ -345,3 +345,33 @@ def test_probes_udf_matches_jvm(spark):
         ).collect()
     }
     assert fast == jvm
+
+
+def test_simhash_udf_matches_jvm(spark, docs):
+    """The Arrow-batched SimHash (one md5 per token) must be
+    bit-identical to the JVM reference expression (simhash_col) — on the
+    shared docs fixture AND on whitespace edge cases where Python/Java
+    normalization semantics could diverge (tabs/newlines at the edges,
+    unicode spaces, empty text)."""
+    from loong_spark.text.dedup import make_simhash_udf
+
+    edge = spark.createDataFrame(
+        [
+            (100, "\tleading tab and  double  space"),
+            (101, "trailing newline\n"),
+            (102, "  only spaces  "),
+            (103, ""),
+            (104, "unicode nbsp inside"),
+            (105, "MiXeD CaSe ÀÉÜ tokens"),
+        ],
+        "doc_id int, text string",
+    )
+    for df in (docs, edge):
+        rows = df.select(
+            "doc_id",
+            simhash_col(F.col("text")).alias("jvm"),
+            make_simhash_udf()(F.col("text")).alias("fast"),
+        ).collect()
+        assert rows and all(r.jvm == r.fast for r in rows), [
+            (r.doc_id, r.jvm, r.fast) for r in rows if r.jvm != r.fast
+        ]
