@@ -136,6 +136,7 @@ def schedule(
     elig: DataFrame,
     politeness: DataFrame,
     cfg: CrawlConfig,
+    broadcast_pol: bool = True,
 ) -> DataFrame:
     """O3+O4: per-host cap then global budget, all in the pinned total
     order. Returns scheduled rows with a ``rank`` column (0-based global
@@ -144,8 +145,29 @@ def schedule(
     Scale shape: both window shuffles move only narrow scheduling keys
     (~40 B/row: host, priority, depth, seq, salt, cap) — url/parent strings
     never shuffle. Winners (≤ global_budget rows) broadcast-join back onto
-    ``elig``, so the wide rows are touched scan-side only."""
-    pol = F.broadcast(politeness.select("host", "max_active"))
+    ``elig``, so the wide rows are touched scan-side only. The max_active
+    dim join is size-aware like ``eligible`` (the caller decides from the
+    politeness table's bytes): broadcast while small, shuffle-hash on
+    host above the limit — the keys shuffle by host for the per-host
+    window anyway."""
+    keys = capped_keys(elig, politeness, cfg, broadcast_pol)
+    # global budget (O3) + deterministic rank, bounded one-task selection
+    winners = global_topk(keys.select(*ORDER_COLS), cfg.global_budget)
+    return elig.join(F.broadcast(winners.select("seq", "rank")), "seq")
+
+
+def capped_keys(
+    elig: DataFrame,
+    politeness: DataFrame,
+    cfg: CrawlConfig,
+    broadcast_pol: bool = True,
+) -> DataFrame:
+    """The per-host-capped scheduling keys (schedule()'s pre-budget
+    stage, exposed so its plan is auditable — global_topk's
+    localCheckpoint severs the lineage the audit would otherwise read):
+    max_active dim join (size-aware) → two-phase salted per-host top-k."""
+    pol = politeness.select("host", "max_active")
+    pol = F.broadcast(pol) if broadcast_pol else pol.hint("shuffle_hash")
     keys = elig.join(pol, "host", "left").select(
         "host",
         *ORDER_COLS,
@@ -158,11 +180,7 @@ def schedule(
     keys = keys.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") <= F.col("cap"))
     # phase 2: exact per-host top-k over ≤ n_salts*cap survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
-    keys = keys.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= F.col("cap"))
-
-    # global budget (O3) + deterministic rank, bounded one-task selection
-    winners = global_topk(keys.select(*ORDER_COLS), cfg.global_budget)
-    return elig.join(F.broadcast(winners.select("seq", "rank")), "seq")
+    return keys.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= F.col("cap"))
 
 
 def robots_allowed(path: Column, disallow: Column, allow: Column) -> Column:

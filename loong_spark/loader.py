@@ -86,7 +86,10 @@ def aggregate_docs(dfs: dict[str, DataFrame], m: TableMapping) -> DataFrame:
             *[F.col(c).alias(f"__rel_{c}" if c in overlap else c) for c in rel.columns
               if c not in m.object_id],
         )
-        base = base.join(F.broadcast(rel), m.object_id, "left")
+        # no pinned broadcast: related sources are arbitrary tables
+        # (unbounded at scale) — AQE broadcasts small sides at runtime
+        # from MEASURED sizes and keeps big ones as shuffle joins
+        base = base.join(rel, m.object_id, "left")
         for c in overlap:
             base = base.withColumn(c, F.coalesce(F.col(c), F.col(f"__rel_{c}"))).drop(
                 f"__rel_{c}"

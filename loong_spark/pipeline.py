@@ -308,6 +308,7 @@ class CrawlPipeline:
         host_state: DataFrame,
         batch_id: int,
         hs_broadcast: bool = True,
+        pol_broadcast: bool = True,
     ) -> tuple[DataFrame, DataFrame, dict]:
         """Robots → within-batch dedup → bloom+exact seen anti-join →
         priority → seq. Returns (new queued entries, seen additions, stats).
@@ -317,11 +318,14 @@ class CrawlPipeline:
         every count the caller needs rides the SAME write action as
         ``Observation`` metrics — zero extra driver jobs."""
         st = self.store
-        pol = F.broadcast(
-            st.read("politeness", schemas.POLITENESS).select(
-                "host", "robots_disallow", "robots_allow"
-            )
+        # robots-rule dim: size-aware like host_state — the rule arrays
+        # make this the WIDEST per-host table (multi-GB at 10^7 hosts),
+        # so above broadcast_limit_bytes the candidates (bounded per
+        # batch) shuffle-hash join it on host instead
+        pol = st.read("politeness", schemas.POLITENESS).select(
+            "host", "robots_disallow", "robots_allow"
         )
+        pol = F.broadcast(pol) if pol_broadcast else pol.hint("shuffle_hash")
 
         links = cand.filter(~F.col("is_retry")).withColumn("is_robots", F.lit(False))
         retries = cand.filter(F.col("is_retry")).withColumn("is_robots", F.lit(False))
@@ -547,6 +551,7 @@ class CrawlPipeline:
             st.table_bytes("host_state") + st.table_bytes("host_state_delta")
             <= cfg.broadcast_limit_bytes
         )
+        pol_small = st.table_bytes("politeness") <= cfg.broadcast_limit_bytes
 
         prev_size = None
         tomb_rows = 0
@@ -566,9 +571,11 @@ class CrawlPipeline:
             # frontier permanently (full-rewrite mode commits the
             # filtered set below; delta mode tombstones their seqs).
             # /robots.txt itself is always fetchable.
-            rules = F.broadcast(
-                politeness.select("host", "robots_disallow", "robots_allow")
-            )
+            rules = politeness.select("host", "robots_disallow", "robots_allow")
+            # size-aware like host_state: above the limit the frontier
+            # shuffle-hash joins the rule dim on host (the exchange is
+            # shared with the eligibility join on the same key)
+            rules = F.broadcast(rules) if pol_small else rules.hint("shuffle_hash")
             with_rules = (
                 queued.join(rules, "host", "left")
                 .withColumn("_path", path_col(F.col("url")))
@@ -588,7 +595,7 @@ class CrawlPipeline:
 
         # -- schedule (O1-O4) --------------------------------------------
         elig = eligible(queued, host_state, batch_id, broadcast_state=hs_small)
-        sched = schedule(elig, politeness, cfg)
+        sched = schedule(elig, politeness, cfg, broadcast_pol=pol_small)
         obs_sched = Observation()
         sched = sched.observe(obs_sched, F.count(F.lit(1)).alias("n"))
         st.commit("_work_scheduled", sched)
@@ -853,7 +860,7 @@ class CrawlPipeline:
         # -- admit new frontier entries ------------------------------------
         cand = links.unionByName(retries)
         new_entries, new_seen, stats = self._admit(
-            cand, host_state, batch_id, hs_broadcast=hs_small
+            cand, host_state, batch_id, hs_broadcast=hs_small, pol_broadcast=pol_small
         )
         n_deduped = n_links - stats["n_new"] - stats["robots_dropped"]
 
@@ -873,10 +880,21 @@ class CrawlPipeline:
             frontier_size = obs_vals(obs_q, n=0)["n"]
         st.append("seen", new_seen, schemas.SEEN)
 
-        # host_state: politeness clocks + seen counts
+        # host_state: politeness clocks + seen counts. The delay dim is
+        # size-aware: above broadcast_limit_bytes the politeness SCAN is
+        # restricted to this batch's scheduled hosts first (a broadcast
+        # SEMI join whose broadcast side is ≤ global_budget hosts by
+        # construction) — never a full-dim broadcast, never a shuffle of
+        # the dim for a ≤-budget-row probe side.
+        delay_dim = politeness.select("host", "delay_s")
+        if not pol_small:
+            delay_dim = delay_dim.join(
+                F.broadcast(sched.select("host").distinct()), "host", "semi"
+            )
+        delay_dim = F.broadcast(delay_dim)
         sched_hosts = (
             sched.select("host").distinct()
-            .join(F.broadcast(politeness.select("host", "delay_s")), "host", "left")
+            .join(delay_dim, "host", "left")
             .select(
                 "host",
                 (F.lit(batch_id) + F.coalesce(F.col("delay_s"), F.lit(cfg.default_delay)))

@@ -167,7 +167,10 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    # no pinned broadcast: the candidate-doc set is output-dependent
+    # (a duplicate-heavy corpus can make it a large fraction of the
+    # input) — AQE broadcasts it when its measured size is small
+    sh = sh.join(cand_docs, "doc_id", "semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

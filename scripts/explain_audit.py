@@ -78,6 +78,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 
+def _schedule_shuffle(spark, queued, host_state):
+    from pyspark.sql import functions as F
+
+    from loong_spark.config import CrawlConfig
+    from loong_spark.frontier import capped_keys
+
+    pol = host_state.select(
+        "host", (F.col("seen_count") % 4 + 1).cast("int").alias("max_active")
+    )
+    return capped_keys(queued, pol, CrawlConfig(global_budget=50), broadcast_pol=False)
+
+
 def pipeline_plan_checks(spark) -> dict[str, tuple]:
     """Crawl-loop join-strategy audits (not entry queries): the
     size-aware host_state strategy at BOTH regimes (frontier.eligible
@@ -129,6 +141,13 @@ def pipeline_plan_checks(spark) -> dict[str, tuple]:
         "pipeline_seen_anti_join": (
             seen_anti_join(cand, seen),
             ["ShuffledHashJoin", "LeftAnti"], ["BroadcastHashJoin", "SortMergeJoin"],
+        ),
+        # big-regime scheduling keys (schedule()'s pre-budget stage): the
+        # max_active dim shuffle-hash joins on host — never a mandatory
+        # full-politeness broadcast, never a sort-merge
+        "pipeline_schedule_shuffle": (
+            _schedule_shuffle(spark, queued, host_state),
+            ["ShuffledHashJoin"], ["SortMergeJoin", "BroadcastHashJoin"],
         ),
     }
 
