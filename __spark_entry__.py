@@ -633,10 +633,16 @@ def q_site_date_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots rules (north_star; frontier.robots_allowed): longest-prefix
-    allow/disallow over synthesized paths, pure JVM array ops. Disallow
-    /click/ and /view/ except the /click/1* subtree (allow wins when its
-    matching prefix is at least as long)."""
+    """Robots rules (north_star; frontier.robots_allowed): RFC 9309
+    most-specific-match allow/disallow over synthesized paths, pure JVM
+    array ops — including wildcard rules (``*`` any sequence, trailing
+    ``$`` end anchor; specificity = rule length, Google-parser style).
+    Disallow /click/, /view/, and any path with a 'u' ending in '2'
+    (``/*u*2$``); allow the /click/1* subtree, /view/…7 pages
+    (``/view/*7$``), and ``/sig*`` (which is SHORTER than the wildcard
+    disallow it overlaps, so it loses — the precedence edge case). The
+    oracle restates each rule as a hand-translated anchored regex with
+    its rule length."""
     from loong_spark.frontier import robots_allowed
 
     ev = _t(spark, sf_dir, "events")
@@ -644,8 +650,8 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/"), F.col("event_type"), F.lit("/"),
         F.pmod(F.col("event_id"), F.lit(100)).cast("string"),
     )
-    disallow = F.array(F.lit("/click/"), F.lit("/view/"))
-    allow = F.array(F.lit("/click/1"))
+    disallow = F.array(F.lit("/click/"), F.lit("/view/"), F.lit("/*u*2$"))
+    allow = F.array(F.lit("/click/1"), F.lit("/view/*7$"), F.lit("/sig*"))
     return ev.select(
         "event_id",
         path.alias("path"),
@@ -1165,12 +1171,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, path,
               coalesce(list_max(list_transform(
-                  list_filter(['/click/1'], r -> starts_with(path, r)),
-                  r -> length(r))), -1)
+                  list_filter([{'re': '^/click/1', 'n': 8},
+                               {'re': '^/view/.*7$', 'n': 9},
+                               {'re': '^/sig.*', 'n': 5}],
+                              r -> regexp_matches(path, r.re)),
+                  r -> r.n)), -1)
               >=
               coalesce(list_max(list_transform(
-                  list_filter(['/click/', '/view/'], r -> starts_with(path, r)),
-                  r -> length(r))), -1)
+                  list_filter([{'re': '^/click/', 'n': 7},
+                               {'re': '^/view/', 'n': 6},
+                               {'re': '^/.*u.*2$', 'n': 6}],
+                              r -> regexp_matches(path, r.re)),
+                  r -> r.n)), -1)
               AS allowed
             FROM p""",
         "robots_parse": """

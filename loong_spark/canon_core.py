@@ -28,6 +28,8 @@ No I/O, no randomness: everything here is a pure function.
 from __future__ import annotations
 
 import hashlib
+import re
+from functools import lru_cache
 
 _SCHEMES = ("http://", "https://")
 
@@ -136,13 +138,41 @@ def resolve_href(base: str, href: str) -> str:
     return f"{b_scheme}://{b_host}{_collapse_segments(dir_path + href)}"
 
 
+@lru_cache(maxsize=4096)
+def _robots_rule_re(rule: str) -> "re.Pattern[str]":
+    """Compiled matcher for one robots rule path per RFC 9309 §2.2.3:
+    ``*`` matches any character sequence (including empty), a TRAILING
+    ``$`` anchors the end of the path, every other character is literal
+    (a non-trailing ``$`` included). The pure twin of
+    frontier.robots_rule_regex — parity pytest-enforced."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return re.compile("^" + pat + ("$" if anchored else ""))
+
+
+def robots_rule_matches(path: str, rule: str) -> bool:
+    """One rule against one path. Plain rules (no ``*``, no trailing
+    ``$``) stay on the prefix fast path — identical semantics to the
+    regex, just cheaper."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    return _robots_rule_re(rule).match(path) is not None
+
+
 def robots_match(path: str, disallow: list[str] | None, allow: list[str] | None) -> bool:
-    """True if ``path`` is ALLOWED. Longest-prefix-wins between allow and
-    disallow rules (the standard robots.txt resolution order). The reference
-    has no robots support (verified repo-wide); this is a north-rule
-    addition (SURVEY.md §7)."""
-    best_allow = max((len(p) for p in (allow or []) if path.startswith(p)), default=-1)
-    best_disallow = max((len(p) for p in (disallow or []) if path.startswith(p)), default=-1)
+    """True if ``path`` is ALLOWED. Most-specific-match-wins between
+    allow and disallow rules, with RFC 9309 wildcard support (``*`` any
+    sequence, trailing ``$`` end anchor). Specificity is the RULE LENGTH
+    in characters (wildcards included) — exactly what Google's reference
+    parser uses (LongestMatchRobotsMatchStrategy::MatchAllow returns
+    pattern.length()); ties go to allow. The reference crawler has no
+    robots support (verified repo-wide); this is a north-rule addition
+    (SURVEY.md §7)."""
+    best_allow = max((len(p) for p in (allow or []) if robots_rule_matches(path, p)), default=-1)
+    best_disallow = max(
+        (len(p) for p in (disallow or []) if robots_rule_matches(path, p)), default=-1
+    )
     return best_allow >= best_disallow
 
 

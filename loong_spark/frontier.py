@@ -183,14 +183,48 @@ def capped_keys(
     return keys.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= F.col("cap"))
 
 
+def robots_rule_regex(rule: Column) -> Column:
+    """One robots rule path → an anchored Java regex, pure JVM string
+    ops, per RFC 9309 §2.2.3: ``*`` matches any character sequence, a
+    TRAILING ``$`` anchors the end of the path, everything else —
+    including a non-trailing ``$`` — is literal. The JVM twin of
+    canon_core._robots_rule_re (parity pytest-enforced)."""
+    anchored = rule.endswith("$")
+    body = F.when(anchored, F.regexp_replace(rule, r"\$$", "")).otherwise(rule)
+    # escape every regex metacharacter EXCEPT '*' (the wildcard), then
+    # turn the wildcard into '.*'
+    esc = F.regexp_replace(body, r"([\\^$.|?+\[\]{}()])", r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def robots_rule_matches(path: Column, rule: Column) -> Column:
+    """One rule against one path. Plain rules (no ``*``, no trailing
+    ``$`` — the overwhelming majority in real robots files) stay on the
+    startswith fast path; wildcard rules compile to the anchored regex.
+    Both run JVM-side."""
+    is_wild = rule.contains("*") | rule.endswith("$")
+    return F.when(is_wild, F.rlike(path, robots_rule_regex(rule))).otherwise(
+        path.startswith(rule)
+    )
+
+
 def robots_allowed(path: Column, disallow: Column, allow: Column) -> Column:
-    """Longest-prefix-wins robots check, pure built-ins (arrays stay
-    JVM-side): allowed iff best allow-prefix ≥ best disallow-prefix.
-    Mirrors canon_core.robots_match."""
+    """Most-specific-match-wins robots check with RFC 9309 wildcard
+    support, pure built-ins (arrays stay JVM-side): allowed iff the best
+    matching allow rule is at least as specific as the best matching
+    disallow rule. Specificity = RULE LENGTH in characters, wildcards
+    included — what Google's reference parser uses
+    (LongestMatchRobotsMatchStrategy::MatchAllow returns
+    pattern.length()); ties go to allow. Mirrors
+    canon_core.robots_match."""
 
     def best(rules: Column) -> Column:
         return F.aggregate(
-            F.filter(rules, lambda p: path.startswith(p)),
+            F.filter(rules, lambda p: robots_rule_matches(path, p)),
             F.lit(-1),
             lambda acc, x: F.greatest(acc, F.length(x)),
         )

@@ -50,15 +50,26 @@ def parse_robots(
     crawl_delay = MAX over applicable sections (honor the strictest
     applicable wait)."""
     host = F.col(host_col)
+
+    def wtrim(c):
+        # whitespace trim with Java \s (space/tab/CR/LF/VT/FF) — F.trim
+        # strips SPACES only, which would keep the \r of a CRLF file in
+        # every value; the pure twin strips the identical set
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
     lines = (
         robots.select(
             host.alias("host"),
-            F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+            # real robots.txt files are frequently CRLF and sometimes
+            # BOM-prefixed — accept both (mirrored in robots_core)
+            F.posexplode(
+                F.split(F.regexp_replace(F.col(txt_col), "^\ufeff+", ""), "\r?\n")
+            ).alias("pos", "raw"),
         )
-        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .withColumn("line", wtrim(F.regexp_replace("raw", "#.*$", "")))
         .filter(F.col("line") != "")
-        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
-        .withColumn("value", F.trim(F.regexp_extract("line", "^[^:]*:(.*)$", 1)))
+        .withColumn("key", F.lower(wtrim(F.substring_index("line", ":", 1))))
+        .withColumn("value", wtrim(F.regexp_extract("line", "^[^:]*:(.*)$", 1)))
         .filter(F.col("key").isin("user-agent", "allow", "disallow", "crawl-delay"))
     )
     w = Window.partitionBy("host").orderBy("pos")

@@ -17,19 +17,25 @@ import re
 
 _KEYS = {"user-agent", "allow", "disallow", "crawl-delay"}
 
+#: exactly the whitespace Java's regex ``\s`` strips — the Spark parser
+#: trims with ``\s`` so the twins must agree on the set (Python's bare
+#: .strip() would also eat unicode spaces like NBSP and diverge)
+_WS = " \t\n\r\x0b\x0c"
+
 
 def _directives(txt: str) -> list[tuple[str, str]]:
-    """(key, value) per directive line: comments stripped, blanks and
-    unknown keys dropped — mirrors the Spark parser's line filter."""
+    """(key, value) per directive line: UTF-8 BOM dropped, CRLF and LF
+    line endings accepted, comments stripped, blanks and unknown keys
+    dropped — mirrors the Spark parser's line filter."""
     out = []
-    for raw in txt.split("\n"):
-        line = re.sub(r"#.*$", "", raw).strip()
+    for raw in re.split(r"\r?\n", txt.lstrip("\ufeff")):
+        line = re.sub(r"#.*$", "", raw).strip(_WS)
         if not line or ":" not in line:
             continue
         key, _, value = line.partition(":")
-        key = key.strip().lower()
+        key = key.strip(_WS).lower()
         if key in _KEYS:
-            out.append((key, value.strip()))
+            out.append((key, value.strip(_WS)))
     return out
 
 

@@ -124,3 +124,163 @@ def test_pure_parser_parity(spark):
             assert r["disallow"] == pure["disallow"], (agent, txt)
             assert r["allow"] == pure["allow"], (agent, txt)
             assert r["crawl_delay"] == pure["crawl_delay"], (agent, txt)
+
+
+# -- RFC 9309 wildcard rules (VERDICT r4 #1) ---------------------------------
+
+# (path, disallow, allow, expect_allowed) — RFC 9309 §2.2.3 semantics:
+# '*' any char sequence, trailing '$' end anchor, specificity = rule
+# length (Google reference-parser behavior), ties go to allow.
+WILDCARD_CASES = [
+    ("/a/b?q=1", ["/*?"], [], False),          # the classic query-string block
+    ("/a/b", ["/*?"], [], True),
+    ("/doc.pdf", ["/*.pdf$"], [], False),      # $ anchors the end
+    ("/doc.pdfx", ["/*.pdf$"], [], True),
+    ("/x/doc.pdf", ["/*.pdf$"], ["/x/"], False),   # disallow len 8 > allow len 3
+    ("/x/doc.pdf", ["/*.pdf$"], ["/x/*.pdf$"], True),  # allow len 10 wins
+    ("/fish/salmon", ["/fish*"], [], False),
+    ("/fishheads", ["/fish*"], [], False),     # RFC: /fish* == /fish (prefix)
+    ("/Fish", ["/fish*"], [], True),           # case-sensitive
+    ("/fish/", ["/fish/$"], [], False),
+    ("/fish/x", ["/fish/$"], [], True),
+    ("/p$q/x", ["/p$q/"], [], False),          # non-trailing $ is literal
+    ("/a.b/c", ["/a.b/"], [], False),
+    ("/axb/c", ["/a.b/"], [], True),           # '.' is literal, not regex
+    ("/a(1)[2]{3}/x", ["/a(1)[2]{3}/"], [], False),  # metachars escaped
+    ("/w/1x2/x", ["/w/1*2/"], [], False),      # '*' wildcards inside a rule
+    ("/sig/9", ["/*g*9$"], ["/sig*"], False),  # allow len 5 < disallow len 6
+    ("/", ["/*"], [], False),                  # '*' matches empty
+    ("/back\\x/y", ["/back\\x/"], [], False),  # backslash is literal
+]
+
+
+def test_wildcard_matcher_pure_fixtures():
+    from loong_spark.canon_core import robots_match
+
+    for path, dis, allow, want in WILDCARD_CASES:
+        assert robots_match(path, dis, allow) == want, (path, dis, allow)
+
+
+def test_wildcard_matcher_jvm_pure_parity(spark):
+    """frontier.robots_allowed (JVM regexp translation) ≡
+    canon_core.robots_match on the whole wildcard battery — one job."""
+    from loong_spark.canon_core import robots_match
+
+    df = spark.createDataFrame(
+        [(p, d, a) for p, d, a, _ in WILDCARD_CASES],
+        "path string, disallow array<string>, allow array<string>",
+    )
+    got = df.select(
+        "path", "disallow", "allow",
+        robots_allowed(F.col("path"), F.col("disallow"), F.col("allow")).alias("jvm"),
+    ).collect()
+    assert len(got) == len(WILDCARD_CASES)
+    for r in got:
+        assert r["jvm"] == robots_match(r["path"], r["disallow"], r["allow"]), (
+            r["path"], r["disallow"], r["allow"],
+        )
+
+
+def _hyp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    return given, settings, st
+
+
+_GIVEN, _SETTINGS, _ST = _hyp()
+
+#: rule/path alphabet: path chars + every regex metachar the translation
+#: must escape + the two wildcard chars
+_RULE_CHARS = "/abc19.$*()[]{}|+?^\\-_"
+_rule = _ST.text(alphabet=_RULE_CHARS, min_size=1, max_size=10).map(lambda s: "/" + s)
+_pathq = _ST.text(alphabet="/abc19.$*()?=&x-", min_size=0, max_size=12).map(
+    lambda s: "/" + s
+)
+
+
+@_GIVEN(
+    cases=_ST.lists(
+        _ST.tuples(
+            _pathq,
+            _ST.lists(_rule, max_size=3),
+            _ST.lists(_rule, max_size=3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS(max_examples=12, deadline=None)
+def test_wildcard_matcher_property_parity(spark, cases):
+    """Property (VERDICT r4 stretch #9 companion): for random paths and
+    random rule soups over the full metachar alphabet, the JVM matcher
+    and the pure twin agree — the regex translation (escaping, '*',
+    trailing '$') cannot drift."""
+    from loong_spark.canon_core import robots_match
+
+    df = spark.createDataFrame(
+        cases, "path string, disallow array<string>, allow array<string>"
+    )
+    got = df.select(
+        "path", "disallow", "allow",
+        robots_allowed(F.col("path"), F.col("disallow"), F.col("allow")).alias("jvm"),
+    ).collect()
+    for r in got:
+        assert r["jvm"] == robots_match(r["path"], r["disallow"], r["allow"]), (
+            r["path"], r["disallow"], r["allow"],
+        )
+
+
+_dirline = _ST.one_of(
+    _ST.builds(
+        lambda k, pad, v: f"{k}{pad}:{pad}{v}",
+        _ST.sampled_from(
+            ["User-agent", "user-agent", "USER-AGENT", "Disallow", "disallow",
+             "Allow", "allow", "Crawl-delay", "CRAWL-DELAY", "Sitemap", "Host"]
+        ),
+        _ST.sampled_from(["", " ", "\t", "  "]),
+        _ST.one_of(
+            _ST.sampled_from(["*", "loong", "LOONG", "otherbot", ""]),
+            _rule,
+            _ST.sampled_from(["1", "2.5", "bogus", "0"]),
+        ),
+    ),
+    _ST.just(""),
+    _ST.builds(lambda c: f"# {c}", _ST.text(alphabet="abc: ", max_size=8)),
+    _ST.builds(lambda l, c: f"{l} # {c}", _ST.just("Disallow: /x"), _ST.just("tail")),
+)
+
+
+@_GIVEN(
+    texts=_ST.lists(
+        _ST.builds(
+            lambda bom, lines, crlf: (bom + ("\r\n" if crlf else "\n").join(lines)),
+            _ST.sampled_from(["", "﻿"]),
+            _ST.lists(_dirline, max_size=12),
+            _ST.booleans(),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    agent=_ST.sampled_from(["loong", "otherbot", "nobody"]),
+)
+@_SETTINGS(max_examples=12, deadline=None)
+def test_robots_parser_property_parity(spark, texts, agent):
+    """Property (VERDICT r4 stretch #9): random directive soup — case
+    soup, comments, BOM, CRLF, blank lines, consecutive UA lines,
+    wildcard rules, unknown keys — parses identically through the Spark
+    window parser and the pure twin, including group selection and
+    crawl-delay folding."""
+    from loong_spark.robots_core import parse_robots_text
+
+    got = _parse(spark, [(f"h{i}.t", t) for i, t in enumerate(texts)], agent=agent)
+    for i, txt in enumerate(texts):
+        host = f"h{i}.t"
+        pure = parse_robots_text(txt, agent=agent)
+        if pure is None:
+            assert host not in got, (agent, repr(txt))
+            continue
+        r = got[host]
+        assert r["disallow"] == pure["disallow"], (agent, repr(txt))
+        assert r["allow"] == pure["allow"], (agent, repr(txt))
+        assert r["crawl_delay"] == pure["crawl_delay"], (agent, repr(txt))

@@ -204,3 +204,49 @@ def test_empty_nonhtml_body_fails_before_content_gate(spark, warehouse):
     assert_matches_oracle(pipe, golden)
     assert sum(m["empty_failed"] for m in metrics) == 1
     assert sum(m["failed"] for m in metrics) == 0  # empty ≠ retryable failure
+
+
+def test_wildcard_rules_e2e_matches_oracle(spark, warehouse):
+    """VERDICT r4 #1 done-gate: a full crawl under RFC 9309 WILDCARD
+    rules — `Disallow: /*?` (query strings), `Disallow: /*.bin$` (end
+    anchor), `Allow: /p/ok?*` (longer allow overrides the wildcard
+    disallow) — matches the pure oracle exactly, and the blocked/allowed
+    split is what the RFC says it is."""
+    a = "a.example"
+    seed = f"http://{a}/"
+    links = [
+        f"http://{a}/p/1",          # plain page: crawled
+        f"http://{a}/p/1?page=2",   # query string: blocked by /*?
+        f"http://{a}/p/ok?x=1",     # query string, but Allow: /p/ok?* wins
+        f"http://{a}/file.bin",     # blocked by /*.bin$
+        f"http://{a}/file.bind",    # NOT blocked ($ anchors the end)
+    ]
+    graph = {}
+    for page in [
+        mk_page(seed, links=links),
+        *[mk_page(u) for u in links],
+        mk_page(
+            robots_url_of(a),
+            content_type="text/plain",
+            spans=[_span(
+                "User-agent: *\r\n"     # CRLF on purpose: real files are CRLF
+                "Disallow: /*?\r\n"
+                "Disallow: /*.bin$\r\n"
+                "Allow: /p/ok?*\r\n"
+            )],
+        ),
+    ]:
+        graph[page["url"]] = page
+
+    cfg = CrawlConfig(global_budget=20, fetch_robots=True, use_bloom=False)
+    golden = Oracle(graph, [seed], {}, cfg).run()
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [seed], cfg)
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+
+    crawled = {u for (_, _, u) in spark_crawl_order(pipe)}
+    assert f"http://{a}/p/1" in crawled
+    assert f"http://{a}/p/ok?x=1" in crawled, "longer Allow must override /*?"
+    assert f"http://{a}/file.bind" in crawled, "$ must anchor, not prefix-match"
+    assert f"http://{a}/p/1?page=2" not in crawled, "Disallow: /*? inert"
+    assert f"http://{a}/file.bin" not in crawled, "Disallow: /*.bin$ inert"
