@@ -188,7 +188,9 @@ def q_merge_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12+J1: left-biased hash merge = left join + coalesce per column."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    # no pinned broadcast: customer grows with SF — AQE promotes the
+    # build side from measured sizes (VERDICT r4 #7)
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey",
         "o_custkey",
         F.coalesce(F.col("c_name"), F.lit("unknown")).alias("cust_name"),
@@ -256,7 +258,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE-decided build (no pin)
         .groupBy("l_orderkey")
         .agg(F.sum(rev).alias("revenue_c"))
         .orderBy(F.desc("revenue_c"), "l_orderkey")
@@ -278,8 +280,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(n, s.s_nationkey == n.n_nationkey)   # 25 rows at ANY SF, but
+        .join(r, n.n_regionkey == r.r_regionkey)   # let AQE pick it anyway
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue_c"))
     )
@@ -745,11 +747,15 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (zlib stub → not SQL-expressible; rows-only check,
-    determinism is pytest-covered)."""
+    """Resize stage metadata: the stub decode is deterministic, so the
+    thumbnail target dims (multimodal.thumbnail_dims — downscale-only,
+    aspect-preserving, integer floor) are pure arithmetic on the fake
+    (width, height) and the oracle restates them exactly (VERDICT r4
+    #3). Output BYTES stay a stub (zlib — not SQL-expressible); their
+    determinism is pytest-covered."""
     d = _t(spark, sf_dir, "documents")
     resized = resize_images(media_table_from_documents(d), target=224)
-    return resized.select("media_id", F.length("bytes").alias("n_bytes_out"))
+    return resized.select("media_id", "out_w", "out_h")
 
 
 # ============================================================ contract surface
@@ -1301,9 +1307,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_ref, count(*) AS n_refs, min(md5(url)) AS first_doc
             FROM pages GROUP BY 1""",
-        # approx_distinct, emb_ann_topk, mm_resize_meta: intentionally no
-        # oracle (sketch / approximate / non-SQL stub ops; pytest covers
-        # bounds and determinism).
+        # resize dims: same deterministic fake-decode arithmetic as
+        # mm_image_features, then thumbnail_dims (downscale-only,
+        # aspect-preserving, integer floor) restated in SQL
+        "mm_resize_meta": """
+            WITH media AS (
+              SELECT md5('img://' || source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+                     repeat('img://' || source || '/' || CAST(doc_id AS VARCHAR), 32) AS blob
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            dims AS (
+              SELECT media_id,
+                     64 + (('0x' || substr(md5(blob), 1, 2))::INT % 192) AS w,
+                     64 + (('0x' || substr(md5(blob), 3, 2))::INT % 192) AS h
+              FROM media
+            )
+            SELECT media_id,
+                   CAST(CASE WHEN greatest(w, h) <= 224 THEN w
+                        ELSE greatest(1, w * 224 // greatest(w, h)) END AS INT) AS out_w,
+                   CAST(CASE WHEN greatest(w, h) <= 224 THEN h
+                        ELSE greatest(1, h * 224 // greatest(w, h)) END AS INT) AS out_h
+            FROM dims""",
+        # approx_distinct, emb_ann_topk: intentionally no oracle (sketch /
+        # approximate ops); scripts/check_entry.py BOUND-checks both
+        # against their exact twins, and pytest pins recall/error bounds.
     }
     # dup clusters = transitive closure (recursive CTE) over the SAME
     # pair SQL the docs_minhash_lsh oracle uses — cluster_id is the min

@@ -140,6 +140,19 @@ class CrawlConfig:
     #: (switch on total bitset size; see bloom.BROADCAST_LIMIT_BYTES)
     bloom_mode: str = "auto"
 
+    def __post_init__(self):
+        # An EMPTY proxy pool would reach proxy_col as F.size(pool)=0 and
+        # pmod-by-zero — NULL only with ANSI mode off, a whole-batch
+        # runtime error under spark.sql.ansi.enabled=true (ADVICE r4).
+        # Reject it at construction, where the config file is the clear
+        # culprit: no proxying for a host = omit its key, not [].
+        for h, pool in (self.proxy_pools or {}).items():
+            if not pool:
+                raise ValueError(
+                    f"proxy_pools[{h!r}] is an empty list — omit the key for "
+                    "a direct connection, or list at least one endpoint"
+                )
+
     def to_dict(self) -> dict:
         """JSON-safe knob dump (persisted as <warehouse>/config.json at
         bootstrap so `resume` continues with the ORIGINAL settings —

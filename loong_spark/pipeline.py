@@ -94,16 +94,85 @@ _CAND = T.StructType(
 )
 
 
-def seen_anti_join(cand: DataFrame, seen: DataFrame) -> DataFrame:
+#: per-task build budget for the seen anti-join: on-disk bytes of `seen`
+#: one task's hash map may cover (in-memory blowup ~3-5× on top)
+SEEN_BUILD_PARTITION_BYTES = 32 << 20
+
+
+def seen_anti_join(
+    cand: DataFrame,
+    seen: DataFrame,
+    seen_bytes: int | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
     """F1 exact backstop: drop candidates whose url_hash is already in
-    the seen set. The seen side pins ``shuffle_hash``: at 10^10 seen rows
-    a stats mis-estimate must NEVER attempt a driver-side broadcast
-    build of `seen` (same rationale as bench.run_cycle's dedup leg) —
-    candidates are the smaller side and build the hash table per
-    partition. Audited in scripts/explain_audit.py (no Broadcast build
-    of seen even when stats say it's tiny)."""
-    return cand.join(
-        seen.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
+    the seen set. The seen side pins ``shuffle_hash``: a stats
+    mis-estimate must NEVER attempt a driver-side broadcast build of
+    `seen` (same rationale as bench.run_cycle's dedup leg). The build
+    side is necessarily `seen` — Spark's ShuffledHashJoin cannot
+    BuildLeft for LEFT ANTI (a left-side hint silently degrades to
+    sort-merge, verified on 4.1) — so the per-task map is
+    |seen|/n_partitions rows, and n_partitions MUST scale with |seen|
+    (ADVICE r4): when ``seen_bytes`` (the store's on-disk metadata
+    probe, zero jobs) exceeds what ``min_partitions`` tasks can build
+    within SEEN_BUILD_PARTITION_BYTES each, both sides repartition to
+    ceil(seen_bytes / budget) — at 10^10 seen rows (~500 GB hashes)
+    that's ~16k partitions of ~32 MB builds instead of 32 partitions of
+    ~3e8-row maps. Below the threshold the plan is untouched. Audited
+    in scripts/explain_audit.py (no Broadcast build of seen even when
+    stats say it's tiny)."""
+    seen = seen.select("url_hash")
+    if seen_bytes is not None and min_partitions is not None:
+        need = -(-seen_bytes // SEEN_BUILD_PARTITION_BYTES)
+        if need > min_partitions:
+            cand = cand.repartition(need, "url_hash")
+            seen = seen.repartition(need, "url_hash")
+    return cand.join(seen.hint("shuffle_hash"), "url_hash", "left_anti")
+
+
+def next_eligible_for_scheduled(
+    sched: DataFrame,
+    politeness: DataFrame,
+    batch_id: int,
+    default_delay: int,
+    pol_small: bool = True,
+) -> DataFrame:
+    """Per-host politeness clocks for this batch's scheduled hosts:
+    (host, _ne_new = batch_id + delay). The delay dim is size-aware:
+    above broadcast_limit_bytes (``pol_small=False``) the politeness
+    SCAN is first restricted to the scheduled hosts — a broadcast SEMI
+    join whose broadcast side is ≤ global_budget hosts by construction —
+    so the per-batch delay lookup never ships the full dim and never
+    shuffles it for a budget-row probe side. Factored out of run_batch
+    so both regimes' plans are pinned in scripts/explain_audit.py."""
+    delay_dim = politeness.select("host", "delay_s")
+    if not pol_small:
+        delay_dim = delay_dim.join(
+            F.broadcast(sched.select("host").distinct()), "host", "semi"
+        )
+    delay_dim = F.broadcast(delay_dim)
+    return (
+        sched.select("host").distinct()
+        .join(delay_dim, "host", "left")
+        .select(
+            "host",
+            (F.lit(batch_id) + F.coalesce(F.col("delay_s"), F.lit(default_delay)))
+            .cast("long").alias("_ne_new"),
+        )
+    )
+
+
+def frontier_rewrite(
+    queued: DataFrame, sched_seqs: DataFrame, new_entries: DataFrame
+) -> DataFrame:
+    """The frontier_deltas=False fallback: full read-modify-write of the
+    frontier — scheduled rows leave via an anti-join on seq whose
+    broadcast side is ≤ global_budget rows by construction (a bounded
+    pin, not a stats guess), new entries append. Factored out of
+    run_batch so the fallback's plan shape is pinned in
+    scripts/explain_audit.py."""
+    return queued.join(F.broadcast(sched_seqs), "seq", "left_anti").unionByName(
+        new_entries
     )
 
 
@@ -161,6 +230,12 @@ class CrawlPipeline:
         self.store = SnapshotStore(spark, warehouse)
         self.bloom = BloomFilterManager(spark, self.cfg)
         self.warehouse = warehouse
+        #: non-delta mode, delta→off flip: set once the stale tombstone
+        #: table / outstanding host_state deltas have been folded and
+        #: cleared (process-local; re-folding after a resume is
+        #: idempotent — the tables are empty then)
+        self._tombs_cleared = False
+        self._hs_deltas_folded = False
         #: optional cookies.CookieJar — drives the per-host cookie pick
         #: in the `requests` audit table (cfg.log_requests)
         self.cookie_jar = cookie_jar
@@ -415,10 +490,18 @@ class CrawlPipeline:
                 hashed = self.bloom.maybe_seen_col(hashed)
             fast_unseen = hashed.filter(~F.col("maybe_seen"))
             maybe = hashed.filter(F.col("maybe_seen"))
-            checked = seen_anti_join(maybe, st.read("seen", schemas.SEEN))
+            checked = seen_anti_join(
+                maybe, st.read("seen", schemas.SEEN),
+                seen_bytes=st.table_bytes("seen"),
+                min_partitions=self.cfg.shuffle_partitions,
+            )
             winners = fast_unseen.unionByName(checked).drop("maybe_seen")
         else:
-            winners = seen_anti_join(hashed, st.read("seen", schemas.SEEN))
+            winners = seen_anti_join(
+                hashed, st.read("seen", schemas.SEEN),
+                seen_bytes=st.table_bytes("seen"),
+                min_partitions=self.cfg.shuffle_partitions,
+            )
 
         # priority (O7): prior per-host seen count = base + rank-within-batch.
         # Robots rows share their trigger's (parent_rank, link_idx), so the
@@ -515,6 +598,12 @@ class CrawlPipeline:
         base = self.store.read("host_state", HOST_STATE)
         if not self.cfg.frontier_deltas:
             return base
+        return self._fold_host_state(base)
+
+    def _fold_host_state(self, base: DataFrame) -> DataFrame:
+        """base + outstanding host_state_delta rows → the live view (the
+        delta-mode read path, also used ONCE at a delta→off flip so
+        pending clocks/counts aren't silently dropped)."""
         d = self.store.read("host_state_delta", HOST_STATE_DELTA)
         fold_small = (
             self.store.table_bytes("host_state_delta") <= self.cfg.broadcast_limit_bytes
@@ -541,6 +630,28 @@ class CrawlPipeline:
     # ------------------------------------------------------------- one batch
     def run_batch(self, batch_id: int) -> dict:
         st, cfg = self.store, self.cfg
+        if (
+            not cfg.frontier_deltas
+            and st.exists("host_state_delta")
+            and not self._hs_deltas_folded
+        ):
+            # delta→off flip (ADVICE r5): per-batch politeness clocks /
+            # seen counts may still sit unfolded in host_state_delta —
+            # the non-delta read path only sees the base, so fold them
+            # into it ONCE or the flip silently rewinds host state.
+            # (isEmpty: one first-partition probe per process, so pure
+            # non-delta warehouses — whose delta table exists but is
+            # empty from bootstrap — never pay the O(hosts) rewrite.)
+            self._hs_deltas_folded = True
+            if not st.read("host_state_delta", HOST_STATE_DELTA).isEmpty():
+                st.commit(
+                    "host_state",
+                    self._fold_host_state(st.read("host_state", HOST_STATE)),
+                )
+                st.commit(
+                    "host_state_delta",
+                    self.spark.createDataFrame([], HOST_STATE_DELTA),
+                )
         queued = self._read_frontier()
         host_state = self._read_host_state()
         politeness = st.read("politeness", schemas.POLITENESS)
@@ -636,6 +747,12 @@ class CrawlPipeline:
             fsize = prev_size if cfg.frontier_deltas else queued.count()
             if cfg.frontier_deltas:
                 tomb_rows = self._maybe_compact_frontier(tomb_rows, fsize)
+            elif st.exists("dequeued") and not self._tombs_cleared:
+                # delta→off flip, nothing scheduled: live tombstones may
+                # remain and their count is unknown — record None so a
+                # later delta-mode resume counts once instead of trusting
+                # a pinned 0 (ADVICE r5)
+                tomb_rows = None
             m = self._metrics_row(batch_id, 0, 0, 0, 0, 0, 0, frontier_size=fsize)
             self._write_checkpoint(batch_id, frontier_size=fsize, tomb_rows=tomb_rows)
             return m
@@ -873,33 +990,32 @@ class CrawlPipeline:
             frontier_size = prev_size - n_sched + stats["n_entries"]
         else:
             obs_q = Observation()
-            queued_next = queued.join(
-                F.broadcast(sched.select("seq")), "seq", "left_anti"
-            ).unionByName(new_entries).observe(obs_q, F.count(F.lit(1)).alias("n"))
+            queued_next = frontier_rewrite(
+                queued, sched.select("seq"), new_entries
+            ).observe(obs_q, F.count(F.lit(1)).alias("n"))
             st.commit("queued", queued_next)
             frontier_size = obs_vals(obs_q, n=0)["n"]
+            if st.exists("dequeued") and not self._tombs_cleared:
+                # delta→off flip (ADVICE r5): queued_next derives from the
+                # tombstone-folded live view, so this commit baked the
+                # tombstones into the snapshot — clear them ONCE so later
+                # _read_frontier calls anti-join an empty side instead of
+                # the stale table forever, and the checkpoint's
+                # tomb_rows=0 below is true rather than pinned
+                st.commit(
+                    "dequeued", self.spark.createDataFrame([], schemas.DEQUEUED)
+                )
+                self._tombs_cleared = True
+            tomb_rows = 0
         st.append("seen", new_seen, schemas.SEEN)
 
         # host_state: politeness clocks + seen counts. The delay dim is
-        # size-aware: above broadcast_limit_bytes the politeness SCAN is
-        # restricted to this batch's scheduled hosts first (a broadcast
-        # SEMI join whose broadcast side is ≤ global_budget hosts by
-        # construction) — never a full-dim broadcast, never a shuffle of
-        # the dim for a ≤-budget-row probe side.
-        delay_dim = politeness.select("host", "delay_s")
-        if not pol_small:
-            delay_dim = delay_dim.join(
-                F.broadcast(sched.select("host").distinct()), "host", "semi"
-            )
-        delay_dim = F.broadcast(delay_dim)
-        sched_hosts = (
-            sched.select("host").distinct()
-            .join(delay_dim, "host", "left")
-            .select(
-                "host",
-                (F.lit(batch_id) + F.coalesce(F.col("delay_s"), F.lit(cfg.default_delay)))
-                .cast("long").alias("_ne_new"),
-            )
+        # size-aware (see next_eligible_for_scheduled): above
+        # broadcast_limit_bytes the politeness scan is semi-restricted to
+        # this batch's ≤-budget scheduled hosts — never a full-dim
+        # broadcast, never a dim shuffle for a budget-row probe side.
+        sched_hosts = next_eligible_for_scheduled(
+            sched, politeness, batch_id, cfg.default_delay, pol_small=pol_small
         )
         win_counts = new_seen.groupBy("host").count().select(
             "host", F.col("count").cast("long").alias("_added")

@@ -133,29 +133,31 @@ def politeness_gate_stream(
         # A host group larger than one Arrow batch arrives as MULTIPLE
         # chunks, and chunk order is NOT event-time order, so admission
         # (which depends on the group's global event-time sequence) needs
-        # every row's key before the clock can run. Memory is bounded by
-        # accumulating ONLY the three 8-byte admission keys per row —
-        # payload columns (value, props: the wide part of EVENTS) are
-        # dropped chunk-by-chunk as they stream in, so a hot host holds
-        # 24 B/row for the trigger, not the full rows (a 10^8-event
-        # trigger group = 2.4 GB keys vs OOM with full rows; bound the
-        # trigger itself with maxFilesPerTrigger for hotter hosts).
+        # every row's ordering keys before the clock can run. Memory is
+        # bounded by accumulating ONLY the two 8-byte admission keys per
+        # row — payload columns (value, props: the wide part of EVENTS)
+        # are dropped chunk-by-chunk as they stream in, and the HOST KEY
+        # is constant within an applyInPandasWithState group, so it is
+        # taken once from ``key`` and tiled only at emit time instead of
+        # held as a per-row Python string (~60-100 B each — ADVICE r4).
+        # A hot host therefore holds 16 B/row for the trigger (a
+        # 10^8-event trigger group = 1.6 GB keys vs OOM with full rows;
+        # bound the trigger itself with maxFilesPerTrigger for hotter
+        # hosts).
         ts_parts: list = []
         eid_parts: list = []
-        uid_parts: list = []
         for pdf in pdfs:
             if len(pdf):
                 ts_parts.append(pdf["ts"].to_numpy())
                 eid_parts.append(pdf["event_id"].to_numpy())
-                uid_parts.append(pdf[host_col].to_numpy())
         if ts_parts:
             import numpy as np
 
+            (uid_val,) = key  # the group key: one value for every row
             ts = np.concatenate(ts_parts)
             eid = np.concatenate(eid_parts)
-            uid = np.concatenate(uid_parts)
             order = np.lexsort((eid, ts))  # event-time order, id tie-break
-            ts, eid, uid = ts[order], eid[order], uid[order]
+            ts, eid = ts[order], eid[order]
             epochs = ts.astype("int64") / 1e9
             admitted = np.empty(len(ts), dtype=bool)
             for i, e in enumerate(epochs):  # per-host sequential clock
@@ -168,9 +170,10 @@ def politeness_gate_stream(
             # group's working set
             step = 1 << 16
             for s in range(0, len(ts), step):
+                n_out = len(ts[s : s + step])
                 yield pd.DataFrame(
                     {
-                        "user_id": uid[s : s + step],
+                        "user_id": np.repeat(uid_val, n_out),
                         "event_id": eid[s : s + step],
                         "ts": ts[s : s + step],
                         "admitted": admitted[s : s + step],

@@ -57,6 +57,8 @@ def sweep_ann_params(
     linearly."""
     grid = grid if grid is not None else DEFAULT_GRID
     n_vec = vectors.count()
+    if n_vec == 0:
+        raise ValueError("sweep_ann_params: `vectors` (the corpus) is empty")
     exact = brute_force_topk(
         vectors, queries, k, id_col, vec_col, qid_col, qvec_col
     ).collect()
@@ -64,6 +66,8 @@ def sweep_ann_params(
     for r in exact:
         truth.setdefault(r["query_id"], set()).add(r["vec_id"])
     n_q = len(truth)
+    if n_q == 0:
+        raise ValueError("sweep_ann_params: `queries` is empty — nothing to score")
     out = []
     for n_planes, n_tables in grid:
         got: dict = {}

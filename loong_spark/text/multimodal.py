@@ -81,18 +81,46 @@ def extract_image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
     return media.mapInPandas(fn, schema=IMAGE_FEATURES)
 
 
+MEDIA_RESIZED = T.StructType(
+    list(MEDIA.fields)
+    + [
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+    ]
+)
+
+
+def thumbnail_dims(w: int, h: int, target: int) -> tuple[int, int]:
+    """PIL-thumbnail-style target dimensions: downscale so the longer
+    side is ``target`` (never upscale), aspect preserved, integer floor.
+    Pure arithmetic on (w, h) — the DuckDB oracle restates it exactly."""
+    mx = max(w, h)
+    if mx <= target:
+        return w, h
+    return max(1, w * target // mx), max(1, h * target // mx)
+
+
 def resize_images(media: DataFrame, target: int = 224) -> DataFrame:
-    """STUB resize: real impl is PIL thumbnail inside the same mapInPandas
-    shape; the stub re-compresses bytes deterministically (zlib) so output
-    sizes change like a real resize would."""
+    """Resize stage: output bytes are a STUB (real impl is PIL thumbnail
+    inside the same mapInPandas shape; the stub re-compresses bytes
+    deterministically with zlib so output sizes change like a real
+    resize would), but the emitted (out_w, out_h) metadata is the REAL
+    thumbnail arithmetic over the decoded dimensions — exactly what the
+    PIL implementation would report, and oracle-checkable in SQL."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            dims = [
+                thumbnail_dims(*_fake_decode_image(bytes(b))[:2], target)
+                for b in pdf["bytes"]
+            ]
             pdf["bytes"] = [zlib.compress(bytes(b), 1)[: max(64, target)] for b in pdf["bytes"]]
+            pdf["out_w"] = [d[0] for d in dims]
+            pdf["out_h"] = [d[1] for d in dims]
             yield pdf
 
-    return media.mapInPandas(fn, schema=MEDIA)
+    return media.mapInPandas(fn, schema=MEDIA_RESIZED)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -33,6 +33,53 @@ def frame_hash(cols, rows):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def bound_approx_distinct(con, oracles, s_cols, s_rows):
+    """HLL sketch vs exact DuckDB distincts: every group present, max
+    relative error ≤ 0.15 (3× Spark's default rsd=0.05)."""
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    i_t, i_a = s_cols.index("event_type"), s_cols.index("approx_users")
+    if {r[i_t] for r in s_rows} != set(exact):
+        return False, "group-key sets differ from exact"
+    worst = max(abs(r[i_a] - exact[r[i_t]]) / exact[r[i_t]] for r in s_rows)
+    return worst <= 0.15, f"max_rel_err={worst:.4f} ≤ 0.15 (3×rsd)"
+
+
+def bound_ann_recall(con, oracles, s_cols, s_rows):
+    """ANN top-k vs the oracled exact twin (emb_cosine_topk's DuckDB SQL
+    — engine-independent ground truth): recall ≥ 0.30. The sf embeddings
+    fixture is ~uniform random, where NO LSH parameters reach the 0.9
+    clustered-corpus bound (ANN_SWEEP.md) — 0.30 is the fixture's
+    deterministic self-hit + marginal-neighbor level (measured 0.333,
+    seeded probes); the ≥ 0.9 clustered bound is pytest-held
+    (test_ann_topk_recall_10x)."""
+    exact = con.execute(oracles["emb_cosine_topk"]).fetchall()
+    d_cols = [c[0] for c in con.execute(oracles["emb_cosine_topk"]).description]
+    qi, vi = d_cols.index("query_id"), d_cols.index("vec_id")
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r[qi], set()).add(r[vi])
+    sqi, svi = s_cols.index("query_id"), s_cols.index("vec_id")
+    got: dict = {}
+    for r in s_rows:
+        got.setdefault(r[sqi], set()).add(r[svi])
+    hits = sum(len(t & got.get(q, set())) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total if total else 0.0
+    return recall >= 0.30, f"recall={recall:.3f} ≥ 0.30 vs exact twin ({hits}/{total})"
+
+
+#: sketch/approximate entries with no value oracle: checked against an
+#: exact-twin BOUND instead of a bare row count (VERDICT r4 #3)
+BOUND_CHECKS = {
+    "approx_distinct": bound_approx_distinct,
+    "emb_ann_topk": bound_ann_recall,
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else None
@@ -56,7 +103,17 @@ def main():
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if name in BOUND_CHECKS:
+                try:
+                    ok, detail = BOUND_CHECKS[name](con, oracles, s_cols, s_rows)
+                except Exception as e:
+                    ok, detail = False, f"bound-check error {type(e).__name__}: {e}"
+                status = "BOUND-OK" if ok else "FAIL "
+                if not ok:
+                    failures.append(name)
+                print(f"{status} {name}: {len(s_rows)} rows, {detail} [{time.time()-t0:.1f}s]")
+            else:
+                print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])

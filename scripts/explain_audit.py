@@ -101,7 +101,11 @@ def pipeline_plan_checks(spark) -> dict[str, tuple]:
     from pyspark.sql import functions as F
 
     from loong_spark.frontier import eligible
-    from loong_spark.pipeline import seen_anti_join
+    from loong_spark.pipeline import (
+        frontier_rewrite,
+        next_eligible_for_scheduled,
+        seen_anti_join,
+    )
 
     queued = spark.range(0, 100_000).select(
         F.concat(F.lit("http://h"), (F.col("id") % 1000).cast("string"),
@@ -148,6 +152,31 @@ def pipeline_plan_checks(spark) -> dict[str, tuple]:
         "pipeline_schedule_shuffle": (
             _schedule_shuffle(spark, queued, host_state),
             ["ShuffledHashJoin"], ["SortMergeJoin", "BroadcastHashJoin"],
+        ),
+        # frontier_deltas=False fallback rewrite: the scheduled side is
+        # ≤ global_budget rows by construction, so ITS broadcast pin is
+        # bounded — anti-join + union, never a frontier shuffle just to
+        # remove a budget's worth of rows
+        "pipeline_frontier_fallback_rewrite": (
+            frontier_rewrite(
+                queued.select("url", "url_hash", "host", "depth", "priority", "seq"),
+                queued.limit(50).select("seq"),
+                queued.limit(10).select("url", "url_hash", "host", "depth", "priority", "seq"),
+            ),
+            ["BroadcastHashJoin", "LeftAnti", "Union"],
+            ["SortMergeJoin", "ShuffledHashJoin"],
+        ),
+        # >limit delay-dim path (pol_small=False): the politeness scan is
+        # SEMI-restricted by a broadcast of the ≤-budget scheduled hosts,
+        # then the restricted dim broadcasts back onto them — the full
+        # dim never ships and never shuffles for a budget-row probe
+        "pipeline_delay_dim_semi": (
+            next_eligible_for_scheduled(
+                queued.limit(100), host_state.select("host", F.lit(2).alias("delay_s")),
+                batch_id=7, default_delay=1, pol_small=False,
+            ),
+            ["BroadcastHashJoin", "LeftSemi"],
+            ["SortMergeJoin", "ShuffledHashJoin"],
         ),
     }
 

@@ -160,3 +160,31 @@ def test_full_rewrite_mode_still_matches(spark, warehouse):
     pipe.run()
     assert_matches_oracle(pipe, golden)
     assert len(_manifest_dirs(warehouse, "queued")) == 1
+
+
+def test_delta_to_off_flip_folds_tombstones_once(spark, warehouse):
+    """ADVICE r5: flipping frontier_deltas off against a delta-mode
+    warehouse must fold the stale tombstones into the first non-delta
+    queued snapshot and CLEAR the dequeued table (so later batches stop
+    paying the anti-join and the checkpointed tomb_rows=0 is true, not
+    pinned) — with the final crawl state still oracle-exact."""
+    from loong_spark.pipeline import CrawlPipeline
+
+    cfg_on = CrawlConfig(global_budget=20, use_bloom=False, frontier_deltas=True,
+                         frontier_compact_frac=1e9)  # never fold on its own
+    golden = run_oracle(TINY, cfg_on)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg_on)
+    pipe.run(max_batches=2)
+    assert pipe.store.read("dequeued", schemas.DEQUEUED).count() > 0  # live tombstones
+
+    cfg_off = CrawlConfig(global_budget=20, use_bloom=False, frontier_deltas=False)
+    pipe2 = CrawlPipeline(spark, warehouse, cfg_off)
+    pipe2.run()
+
+    assert_matches_oracle(pipe2, golden)  # physical knob only
+    assert pipe2.store.read("dequeued", schemas.DEQUEUED).count() == 0
+    ck = pipe2.load_checkpoint()
+    assert ck["tomb_rows"] == 0
+    # a later flip BACK to delta mode resumes with the truthful count
+    pipe3 = CrawlPipeline(spark, warehouse, cfg_on)
+    assert pipe3._read_frontier().count() == ck["frontier_size"]

@@ -82,3 +82,27 @@ def test_crawl_matches_oracle_in_shuffle_regime(spark, warehouse):
     pipe = make_pipeline(spark, warehouse, TINY, cfg)
     pipe.run()
     assert_matches_oracle(pipe, golden)
+
+
+def test_seen_anti_join_partitions_scale_with_seen_bytes(spark):
+    """ADVICE r5: the build side is necessarily `seen` (SHJ can't
+    BuildLeft for LEFT ANTI), so the partition count must scale with
+    |seen| — above the per-task build budget both sides repartition to
+    ceil(seen_bytes / SEEN_BUILD_PARTITION_BYTES); below it the plan is
+    untouched. Results identical in both regimes."""
+    from loong_spark.pipeline import SEEN_BUILD_PARTITION_BYTES, seen_anti_join
+
+    cand = spark.range(0, 1000).select(
+        F.md5(F.col("id").cast("string")).alias("url_hash"), F.col("id")
+    )
+    seen = spark.range(0, 10).select(F.md5(F.col("id").cast("string")).alias("url_hash"))
+
+    big = seen_anti_join(cand, seen, seen_bytes=100 * SEEN_BUILD_PARTITION_BYTES,
+                         min_partitions=32)
+    plan = _plan(big)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    # the explicit repartition carries the scaled partition count
+    assert "100" in plan.replace(",", " ")
+    small = seen_anti_join(cand, seen, seen_bytes=1024, min_partitions=32)
+    assert "ShuffledHashJoin" in _plan(small)
+    assert big.count() == small.count() == 990

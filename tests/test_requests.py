@@ -103,3 +103,18 @@ def test_resume_restores_config_and_request_log(spark, warehouse, tmp_path):
     assert {(r.batch_id, r.within_batch_rank, r.url) for r in reqs} == {
         (o.batch_id, o.within_batch_rank, o.url) for o in order
     }
+
+
+def test_empty_proxy_pool_rejected_at_config():
+    """ADVICE r5: an empty pool list would be a pmod-by-zero at request
+    time (a whole-batch failure under ANSI mode) — reject it where the
+    config is written instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="proxy_pools"):
+        CrawlConfig(proxy_pools={"h.example": []})
+    with pytest.raises(ValueError, match="proxy_pools"):
+        CrawlConfig.from_dict({"proxy_pools": {"*": []}})
+    # non-empty pools (and no pools at all) stay fine
+    CrawlConfig(proxy_pools={"h.example": ["http://p1:3128"], "*": ["http://p0:3128"]})
+    CrawlConfig()

@@ -320,6 +320,24 @@ def test_ann_tuning_sweep(spark):
     )
 
 
+def test_ann_tuning_sweep_rejects_empty_inputs(spark):
+    """ADVICE r5: an empty corpus or query set raises a clear ValueError
+    naming the empty input instead of a ZeroDivisionError mid-sweep."""
+    import pytest
+
+    from loong_spark.text.ann_tuning import sweep_ann_params
+
+    rows = _clustered_vectors(n_base=10, dups_per=1, dim=16, seed=7)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    empty = spark.createDataFrame([], "query_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="queries.*empty"):
+        sweep_ann_params(vecs, empty, dim=16, k=5, grid=[(4, 1)])
+    no_corpus = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(rows[:1], "query_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="corpus.*empty"):
+        sweep_ann_params(no_corpus, qs, dim=16, k=5, grid=[(4, 1)])
+
+
 def test_probes_udf_matches_jvm(spark):
     """The Arrow-batched probe matmul (the hot path) must produce the
     SAME (table, bucket) keys as the JVM reference expression — bucket
