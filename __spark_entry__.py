@@ -344,6 +344,22 @@ def q_docs_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_minhash_lsh_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH at prod parameters with the FAST hash family
+    (hash_family='xxhash64': one seeded JVM intrinsic per slot instead
+    of 32 md5 digests per shingle — the dominant cost of the prod run).
+    The md5 family stays the default everywhere BECAUSE DuckDB can
+    reproduce it; this entry shares the md5 prod oracle, which holds
+    because the LSH+exact-verify output is hash-family-agnostic here
+    (pair-set equality also pytest-pinned in
+    test_text_ops.test_minhash_hash_family_agnostic)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, verify_threshold=0.8,
+        hash_family="xxhash64",
+    )
+
+
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster resolution over the MinHash-LSH pair graph
     (dedup.connected_components): (doc_id, cluster_id=min reachable id).
@@ -787,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_signature": q_docs_minhash_signature,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_minhash_lsh_prod": q_docs_minhash_lsh_prod,
+        "docs_minhash_lsh_xx": q_docs_minhash_lsh_xx,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -1112,6 +1129,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h0, h1, h2, h3 FROM sig""",
         "docs_minhash_lsh": _sql_lsh_pairs(4, 2, 0.2),
         "docs_minhash_lsh_prod": _sql_lsh_pairs(32, 8, 0.8),
+        # the fast family shares the md5 prod oracle: verified LSH output
+        # is hash-family-agnostic (and the checker hash-compares it)
+        "docs_minhash_lsh_xx": _sql_lsh_pairs(32, 8, 0.8),
         "docs_simhash": _sql_simhash(16),
         "docs_simhash_neardup": f"""
             WITH sims AS ({_sql_simhash(16)})

@@ -25,7 +25,8 @@ unordered-hash rule dispatch — SURVEY.md §7 "Hard parts" #1):
   (/root/reference/lib/Loong/Crawler.pm:241-252)
 * F4 status handling      → non-200 → failed (301 croaks in the reference,
   /root/reference/lib/Loong/Crawler.pm:147-164)
-* robots (north-rule addition): longest-prefix allow/disallow checked at
+* robots (north-rule addition): RFC 9309 most-specific-match
+  allow/disallow (wildcards included) checked at
   enqueue, before the seen test-and-set (excluded URLs never enter `seen`).
 
 The Spark pipeline (loong_spark.pipeline) must reproduce this total order

@@ -437,7 +437,8 @@ class CrawlPipeline:
             )
             links = links.unionByName(rob)
 
-        # robots (longest-prefix allow/disallow, checked before seen —
+        # robots (RFC 9309 most-specific-match allow/disallow incl.
+        # wildcards, checked before seen —
         # excluded URLs never enter the seen set; /robots.txt itself is
         # exempt). The dropped-count is observed in-flight on the commit
         # action below, not recomputed.

@@ -2,7 +2,8 @@
 
 The reference has no robots support at all; the north-star deployment
 target names robots rules + per-host politeness, and frontier.py already
-ENFORCES parsed rules (robots_allowed longest-prefix check, politeness
+ENFORCES parsed rules (robots_allowed RFC 9309 most-specific-match
+check with * / trailing-$ wildcard support, politeness
 intervals). This module supplies the missing front half: raw robots.txt
 bytes → per-host (disallow[], allow[], crawl_delay) — so a crawl can go
 fetch /robots.txt like any other URL and feed the result straight back
