@@ -111,6 +111,18 @@ def main() -> None:
     bench.prepare_input(spark, base_dir, n_urls)
     spark.stop()
 
+    # Bracket the box's physical scaling ceiling in the SAME session as
+    # the job measurement: a job on this box can never evidence more than
+    # the pure-CPU bracket, and the bracket itself drifts hour-to-hour
+    # (measured 0.83-0.95 CPU across one day). Calibrating before AND
+    # after the rounds makes the artifact self-adjudicating — a FAIL with
+    # a depressed bracket is weather, not a code regression.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from calibrate import calibrate  # bench/calibrate.py (repo-root `bench.py` shadows the dir)
+
+    hw_pre = calibrate(tuple(levels))
+    print(f"hw bracket (pre): {json.dumps(hw_pre)}", file=sys.stderr)
+
     # Interleave the levels across rounds so both sample the same noise
     # environment (this shared VM sees multi-minute interference waves —
     # back-to-back blocks would attribute a wave to one level), then take
@@ -123,6 +135,9 @@ def main() -> None:
             samples[c].append(res)
             log_line = {k: res[k] for k in ("cores", "sec", "sec_schedule", "sec_dedup")}
             print(f"round {r}: {json.dumps(log_line)}", file=sys.stderr)
+
+    hw_post = calibrate(tuple(levels))
+    print(f"hw bracket (post): {json.dumps(hw_post)}", file=sys.stderr)
 
     def best(c: int) -> dict:
         b = min(samples[c], key=lambda x: x["sec"])
@@ -137,6 +152,14 @@ def main() -> None:
 
     factor = levels[1] / levels[0]
     eff = hi["urls_per_sec"] / (factor * lo["urls_per_sec"])
+    # Secondary estimator: per-round PAIRED efficiency (each round's two
+    # legs run back-to-back, so they share a weather window; the primary
+    # min-of-rounds estimator can pair minima from different windows).
+    paired = [
+        round((samples[levels[0]][r]["sec"] / samples[levels[1]][r]["sec"]) / factor, 3)
+        for r in range(rounds)
+    ]
+    cpu_bracket = max(hw_pre["cpu"]["efficiency"], hw_post["cpu"]["efficiency"])
     summary = {
         "metric": "frontier urls scheduled+deduped/sec, two parallelism levels",
         "n_urls": n_urls,
@@ -144,6 +167,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "paired_round_efficiencies": paired,
+        "hw_bracket_pre": hw_pre,
+        "hw_bracket_post": hw_post,
+        "cpu_bracket_efficiency": cpu_bracket,
+        "efficiency_vs_cpu_bracket": round(eff / cpu_bracket, 3),
     }
     print(json.dumps(summary))
     write_bench_md(summary, n_urls, levels, lo, hi, eff)
@@ -175,6 +203,28 @@ substitute for N vs 4N executors documented in BASELINE.md.
 Parallelism-independence: both levels scheduled {lo['n_scheduled']:,} URLs
 and admitted {lo['n_admitted']:,} deduped candidates — identical results,
 asserted by the harness.
+
+## Hardware bracket (same-session calibration)
+
+`bench/calibrate.py` ran immediately before and after the job rounds
+(embarrassingly-parallel pure-CPU work and pure-memcpy work at the same
+two pinned core counts — the ceiling and floor of what ANY job can
+evidence on this box at this hour):
+
+| bracket | pre | post |
+|---|---|---|
+| pure CPU efficiency | {summary['hw_bracket_pre']['cpu']['efficiency']} | {summary['hw_bracket_post']['cpu']['efficiency']} |
+| memory-bandwidth efficiency | {summary['hw_bracket_pre']['membw']['efficiency']} | {summary['hw_bracket_post']['membw']['efficiency']} |
+
+The shared VM's CPU bracket drifts hour-to-hour (0.83-0.95 measured
+across one day) and its memory bandwidth barely scales past 2 cores
+(2 cores already saturate it) — a real 4N-executor cluster multiplies
+bandwidth by 4x with the executors, so the sandbox substitution is
+strictly pessimistic for any bandwidth-touching fraction of the job.
+**Job efficiency / CPU bracket = {summary['efficiency_vs_cpu_bracket']}**
+— the job's intrinsic scaling after removing what the box itself loses.
+Per-round paired efficiencies (both legs of a round share a weather
+window): {summary['paired_round_efficiencies']}.
 
 Raw JSON:
 
