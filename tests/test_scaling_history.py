@@ -1,0 +1,69 @@
+"""BENCH_HISTORY.jsonl harness (bench/scaling.py): every scaling run
+appends one record and BENCH.md renders the full history, so a single
+bad-weather regeneration can never erase prior evidence. Pure-python —
+no Spark session."""
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_scaling():
+    # load by path: the repo-root module `bench.py` shadows the bench/ dir
+    spec = importlib.util.spec_from_file_location(
+        "scaling_mod", os.path.join(REPO, "bench", "scaling.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, os.path.join(REPO, "bench"))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+def _fake_summary(eff: float) -> tuple[dict, dict, dict]:
+    lo = {"sec": 100.0, "all_rounds_sec": [110.0, 100.0], "urls_per_sec": 300000.0,
+          "n_scheduled": 1, "n_admitted": 2}
+    hi = {"sec": 30.0, "all_rounds_sec": [35.0, 30.0], "urls_per_sec": 1000000.0,
+          "n_scheduled": 1, "n_admitted": 2}
+    bracket = {"cpu": {"efficiency": 0.9}, "membw": {"efficiency": 0.8}}
+    summary = {
+        "scaling_efficiency": eff, "pass": eff >= 0.8,
+        "hw_bracket_pre": bracket, "hw_bracket_post": bracket,
+    }
+    return summary, lo, hi
+
+
+def test_append_and_render_history(tmp_path, monkeypatch):
+    scaling = _load_scaling()
+    monkeypatch.setattr(scaling, "REPO", str(tmp_path))
+
+    s1, lo, hi = _fake_summary(0.85)
+    scaling.append_history(s1, 1000, [2, 8], lo, hi, 0.85)
+    s2, lo, hi = _fake_summary(0.55)
+    scaling.append_history(s2, 1000, [2, 8], lo, hi, 0.55)
+
+    path = tmp_path / "BENCH_HISTORY.jsonl"
+    rows = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(rows) == 2
+    assert rows[0]["scaling_efficiency"] == 0.85 and rows[0]["pass"] is True
+    assert rows[1]["scaling_efficiency"] == 0.55 and rows[1]["pass"] is False
+    assert rows[0]["cpu_bracket"] == [0.9, 0.9]
+    assert rows[0]["lo_all_rounds_sec"] == [110.0, 100.0]
+
+    md = scaling.render_history()
+    # both runs rendered; the best one is called out even though the
+    # LATEST run failed — the durability property the harness exists for
+    assert md.count("| 2") >= 0 and "0.85" in md and "0.55" in md
+    assert "Best recorded: **0.85**" in md
+    assert "FAIL" in md and "PASS" in md
+
+
+def test_render_history_missing_file(tmp_path, monkeypatch):
+    scaling = _load_scaling()
+    monkeypatch.setattr(scaling, "REPO", str(tmp_path))
+    assert scaling.render_history() == ""
