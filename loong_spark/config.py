@@ -46,6 +46,18 @@ class CrawlConfig:
     bloom_expected_per_shard: int = 1 << 17
     #: salts for hot-host skew in parse/dedup stages (SURVEY.md §4)
     n_salts: int = 8
+    #: map-side pruning for the per-host top-k windows: when True, the
+    #: cap filters carry an extra LITERAL bound (max over per-host caps,
+    #: one tiny agg on the politeness dim per schedule call) so Catalyst
+    #: inserts WindowGroupLimit(Partial) BELOW the exchange — each input
+    #: partition pre-prunes every (host, salt) group to the bound before
+    #: any row shuffles. Pays in the hot-host regime (a Zipf-head host
+    #: holding 10^4+ frontier rows per partition ships ≤ bound instead),
+    #: at the price of one extra map-side local sort of the narrow keys —
+    #: pure overhead on THIN frontiers (rows-per-group-per-partition ≪
+    #: cap), which is why it is an explicit operator knob, not always-on.
+    #: Semantics-preserving either way (pinned by tests/test_skew.py).
+    window_group_limit: bool = False
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
     #: size-aware join strategy for per-batch state tables (host_state

@@ -165,7 +165,20 @@ def capped_keys(
     """The per-host-capped scheduling keys (schedule()'s pre-budget
     stage, exposed so its plan is auditable — global_topk's
     localCheckpoint severs the lineage the audit would otherwise read):
-    max_active dim join (size-aware) → two-phase salted per-host top-k."""
+    max_active dim join (size-aware) → two-phase salted per-host top-k.
+
+    With ``cfg.window_group_limit`` on, both cap filters carry an extra
+    LITERAL bound ≥ every per-host cap. ``rn <= cap`` alone is opaque to
+    Catalyst's InferWindowGroupLimit (the limit must be foldable), so the
+    per-(host, salt) top-k otherwise shuffles EVERY input row; the
+    conjunct literal turns phase 1 into
+    WindowGroupLimit(Partial) → exchange → WindowGroupLimit(Final) —
+    each input partition pre-prunes each group to the bound map-side.
+    In the 10^10-URL hot-host regime that cuts the phase-1 shuffle from
+    O(frontier) rows to O(groups-per-partition × bound); the price is one
+    extra map-side local sort of the narrow keys, which is why thin
+    frontiers leave the knob off (config.py). Identical output either
+    way: the literal is a superset bound of the per-host cap filter."""
     pol = politeness.select("host", "max_active")
     pol = F.broadcast(pol) if broadcast_pol else pol.hint("shuffle_hash")
     keys = elig.join(pol, "host", "left").select(
@@ -175,12 +188,21 @@ def capped_keys(
         F.coalesce(F.col("max_active"), F.lit(cfg.default_max_active)).alias("cap"),
     )
 
+    cap_ok = lambda rn: F.col(rn) <= F.col("cap")  # noqa: E731
+    if cfg.window_group_limit:
+        # one tiny agg job on the politeness dim (map-side combined to a
+        # single value) buys the literal Catalyst needs; the dim may be
+        # empty (bound falls back to the config default)
+        dim_max = politeness.agg(F.max("max_active")).first()[0]
+        bound = max(cfg.default_max_active, dim_max or 0)
+        cap_ok = lambda rn: (F.col(rn) <= F.lit(bound)) & (F.col(rn) <= F.col("cap"))  # noqa: E731
+
     # phase 1: partial per-(host, salt) top-k — caps hot-host partition size
     w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
-    keys = keys.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") <= F.col("cap"))
+    keys = keys.withColumn("rn1", F.row_number().over(w1)).filter(cap_ok("rn1"))
     # phase 2: exact per-host top-k over ≤ n_salts*cap survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
-    return keys.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") <= F.col("cap"))
+    return keys.withColumn("rn2", F.row_number().over(w2)).filter(cap_ok("rn2"))
 
 
 def robots_rule_regex(rule: Column) -> Column:

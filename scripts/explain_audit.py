@@ -90,6 +90,19 @@ def _schedule_shuffle(spark, queued, host_state):
     return capped_keys(queued, pol, CrawlConfig(global_budget=50), broadcast_pol=False)
 
 
+def _schedule_wgl(spark, queued, host_state):
+    from pyspark.sql import functions as F
+
+    from loong_spark.config import CrawlConfig
+    from loong_spark.frontier import capped_keys
+
+    pol = host_state.select(
+        "host", (F.col("seen_count") % 4 + 1).cast("int").alias("max_active")
+    )
+    cfg = CrawlConfig(global_budget=50, window_group_limit=True)
+    return capped_keys(queued, pol, cfg)
+
+
 def pipeline_plan_checks(spark) -> dict[str, tuple]:
     """Crawl-loop join-strategy audits (not entry queries): the
     size-aware host_state strategy at BOTH regimes (frontier.eligible
@@ -165,6 +178,15 @@ def pipeline_plan_checks(spark) -> dict[str, tuple]:
             ),
             ["BroadcastHashJoin", "LeftAnti", "Union"],
             ["SortMergeJoin", "ShuffledHashJoin"],
+        ),
+        # hot-host map-side pruning (cfg.window_group_limit): the literal
+        # cap bound must yield the WindowGroupLimit Partial+Final pair so
+        # phase 1 pre-prunes each (host, salt) group BELOW the exchange —
+        # in the 10^10 Zipf-head regime the phase-1 shuffle then moves
+        # O(groups × bound) rows, not O(frontier)
+        "pipeline_window_group_limit": (
+            _schedule_wgl(spark, queued, host_state),
+            ["WindowGroupLimit"], ["SortMergeJoin"],
         ),
         # >limit delay-dim path (pol_small=False): the politeness scan is
         # SEMI-restricted by a broadcast of the ≤-budget scheduled hosts,

@@ -75,3 +75,30 @@ def test_salting_is_semantics_preserving(spark, skewed):
     key = lambda rows: sorted((r["seq"], r["rank"]) for r in rows)  # noqa: E731
     assert key(r1) == key(r8)
     print(f"skew 200k rows: n_salts=1 {sec1:.2f}s, n_salts=8 {sec8:.2f}s")
+
+
+def test_window_group_limit_is_semantics_preserving(spark, skewed):
+    """cfg.window_group_limit only adds a map-side WindowGroupLimit prune
+    (a superset literal bound on the cap filters); the schedule (rows AND
+    ranks) must be bit-identical, and the pruned plan must actually carry
+    the partial+final WindowGroupLimit pair Catalyst infers from the
+    literal."""
+    from loong_spark.frontier import capped_keys
+
+    politeness = spark.createDataFrame(
+        [("hot.example", 64)], "host string, max_active int"
+    )
+    base = CrawlConfig(global_budget=2000, default_max_active=64, n_salts=8)
+    wgl = CrawlConfig(
+        global_budget=2000, default_max_active=64, n_salts=8,
+        window_group_limit=True,
+    )
+    r_off = schedule(skewed, politeness, base).select("seq", "rank").collect()
+    r_on = schedule(skewed, politeness, wgl).select("seq", "rank").collect()
+    key = lambda rows: sorted((r["seq"], r["rank"]) for r in rows)  # noqa: E731
+    assert key(r_off) == key(r_on)
+
+    plan_on = capped_keys(skewed, politeness, wgl)._jdf.queryExecution().executedPlan().toString()
+    plan_off = capped_keys(skewed, politeness, base)._jdf.queryExecution().executedPlan().toString()
+    assert plan_on.count("WindowGroupLimit") >= 2  # Partial below + Final above the exchange
+    assert "WindowGroupLimit" not in plan_off
