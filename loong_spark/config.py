@@ -58,6 +58,30 @@ class CrawlConfig:
     #: cap), which is why it is an explicit operator knob, not always-on.
     #: Semantics-preserving either way (pinned by tests/test_skew.py).
     window_group_limit: bool = False
+    #: per-host radix prefilter before the top-k windows: one fully-
+    #: codegen, map-side-combinable `groupBy(host, floor(priority/width))
+    #: count` histogram picks, per host, the smallest priority bucket
+    #: whose cumulative count covers the per-host cap; keeping rows at or
+    #: below that bucket is a PROVABLE superset of the per-host top-cap
+    #: (every top-cap row's priority ≤ the cap-th smallest, whose bucket
+    #: ≤ the cutoff; ties ride along), so the exact salted windows run
+    #: over O(cap + one-bucket-occupancy) survivors per host instead of
+    #: the whole frontier — the O(frontier) narrow-key exchange + sort
+    #: becomes one extra codegen scan + an O(survivors) exchange. Agg
+    #: state is 8 bytes per (host, bucket) group — safe at 10^7 hosts
+    #: (unlike a per-host quantile sketch, whose partial-agg state is
+    #: KBs per group). Degenerates gracefully: if a host's priorities
+    #: all share one bucket the filter keeps that host whole and the
+    #: windows do exactly the old work. Semantics-preserving
+    #: (tests/test_skew.py pins prefilter on/off bit-equality).
+    cap_prefilter: bool = True
+    #: histogram bucket width in priority units. Priorities are
+    #: w_depth-spaced per depth level plus the w_host*log1p term, so the
+    #: default resolves ~100 buckets per depth level; occupied buckets
+    #: per host ≈ priority_range/width (bounded, since priority ranges
+    #: over ~[0, w_depth*max_depth + w_host*log1p(host_seen)]). Smaller
+    #: width = tighter survivor sets, more (tiny) histogram rows.
+    cap_prefilter_width: float = 0.01
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
     #: size-aware join strategy for per-batch state tables (host_state

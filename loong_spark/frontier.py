@@ -165,7 +165,10 @@ def capped_keys(
     """The per-host-capped scheduling keys (schedule()'s pre-budget
     stage, exposed so its plan is auditable — global_topk's
     localCheckpoint severs the lineage the audit would otherwise read):
-    max_active dim join (size-aware) → two-phase salted per-host top-k.
+    max_active dim join (size-aware) → per-host radix prefilter
+    (``cfg.cap_prefilter``, see prefiltered_keys — the exact windows
+    below then touch O(survivors), not O(frontier)) → two-phase salted
+    per-host top-k.
 
     With ``cfg.window_group_limit`` on, both cap filters carry an extra
     LITERAL bound ≥ every per-host cap. ``rn <= cap`` alone is opaque to
@@ -184,9 +187,14 @@ def capped_keys(
     keys = elig.join(pol, "host", "left").select(
         "host",
         *ORDER_COLS,
-        F.pmod(F.xxhash64("url_hash"), F.lit(cfg.n_salts)).alias("salt"),
+        # salt from seq (unique, already in the scheduling key set) — NOT
+        # url_hash, which would drag a 32-byte column into this scan for
+        # nothing but sub-group assignment
+        F.pmod(F.xxhash64("seq"), F.lit(cfg.n_salts)).alias("salt"),
         F.coalesce(F.col("max_active"), F.lit(cfg.default_max_active)).alias("cap"),
     )
+    if cfg.cap_prefilter:
+        keys = prefiltered_keys(keys, cfg, broadcast_pol)
 
     cap_ok = lambda rn: F.col(rn) <= F.col("cap")  # noqa: E731
     if cfg.window_group_limit:
@@ -203,6 +211,56 @@ def capped_keys(
     # phase 2: exact per-host top-k over ≤ n_salts*cap survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
     return keys.withColumn("rn2", F.row_number().over(w2)).filter(cap_ok("rn2"))
+
+
+def prefiltered_keys(keys: DataFrame, cfg: CrawlConfig, broadcast_cuts: bool) -> DataFrame:
+    """Per-host radix prefilter (config.cap_prefilter): shrink ``keys`` to
+    a provable superset of each host's top-``cap`` rows BEFORE the exact
+    windows, so the O(frontier) narrow-key exchange + sort the windows
+    would otherwise do becomes an O(survivors) one.
+
+    How: bucket = floor(priority / width) is monotone in the order's
+    leading key, so one fully-codegen histogram
+    ``groupBy(host, bucket).count()`` (8-byte agg state per group —
+    map-side combinable and safe at 10^7 hosts, where a per-host quantile
+    sketch would hold KBs of partial-agg state per group) plus a window
+    over the TINY histogram yields, per host, the smallest bucket whose
+    cumulative count >= min(cap, host_total). Keeping rows with
+    bucket <= cutoff keeps every top-cap row: rows in buckets strictly
+    below the cap-th row's bucket number < cap, so the cutoff lands at or
+    above that bucket and all its priority ties ride along. The exact
+    salted top-k below decides the final set — output is bit-identical
+    with the knob on or off (tests/test_skew.py).
+
+    Cost model at 10^10 frontier rows: one extra codegen scan of the
+    narrow key columns + a shuffle of occupied (host, bucket) pairs
+    (~hosts x occupied-buckets rows of 24 B) instead of shuffling and
+    sorting every frontier row — the survivor exchange is
+    O(hosts x (cap + cutoff-bucket occupancy)). Worst case (all of a
+    host's priorities in one bucket) degenerates to exactly the old
+    work for that host, plus the cheap histogram pass."""
+    width = cfg.cap_prefilter_width
+    if width <= 0:
+        raise ValueError(f"cap_prefilter_width must be > 0, got {width}")
+    bucket = F.floor(F.col("priority") / F.lit(width))
+    hist = keys.groupBy("host", "cap", bucket.alias("bucket")).count()
+    w_cum = Window.partitionBy("host").orderBy("bucket")
+    w_tot = Window.partitionBy("host")
+    cuts = (
+        hist.select(
+            "host", "bucket",
+            F.col("cap").cast("long").alias("cap"),
+            F.sum("count").over(w_cum).alias("cum"),
+            F.sum("count").over(w_tot).alias("total"),
+        )
+        .filter(F.col("cum") >= F.least("cap", "total"))
+        .groupBy("host")
+        .agg(F.min("bucket").alias("cut_bucket"))
+    )
+    # one cutoff row per distinct host — a host-keyed dim like the
+    # politeness table, so it follows the caller's size-aware decision
+    cuts = F.broadcast(cuts) if broadcast_cuts else cuts.hint("shuffle_hash")
+    return keys.join(cuts, "host").filter(bucket <= F.col("cut_bucket")).drop("cut_bucket")
 
 
 def robots_rule_regex(rule: Column) -> Column:

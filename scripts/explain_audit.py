@@ -103,6 +103,18 @@ def _schedule_wgl(spark, queued, host_state):
     return capped_keys(queued, pol, cfg)
 
 
+def _schedule_prefilter(spark, queued, host_state):
+    from pyspark.sql import functions as F
+
+    from loong_spark.config import CrawlConfig
+    from loong_spark.frontier import capped_keys
+
+    pol = host_state.select(
+        "host", (F.col("seen_count") % 4 + 1).cast("int").alias("max_active")
+    )
+    return capped_keys(queued, pol, CrawlConfig(global_budget=50))
+
+
 def pipeline_plan_checks(spark) -> dict[str, tuple]:
     """Crawl-loop join-strategy audits (not entry queries): the
     size-aware host_state strategy at BOTH regimes (frontier.eligible
@@ -178,6 +190,16 @@ def pipeline_plan_checks(spark) -> dict[str, tuple]:
             ),
             ["BroadcastHashJoin", "LeftAnti", "Union"],
             ["SortMergeJoin", "ShuffledHashJoin"],
+        ),
+        # per-host radix prefilter (cfg.cap_prefilter, default ON): the
+        # windows' input must be the histogram-cutoff survivor join —
+        # a codegen HashAggregate feeding a host-keyed cutoff dim that
+        # BROADCASTS in the small regime (the exact windows then sort
+        # O(survivors), never O(frontier))
+        "pipeline_cap_prefilter": (
+            _schedule_prefilter(spark, queued, host_state),
+            ["HashAggregate", "BroadcastHashJoin"],
+            ["SortMergeJoin", "CartesianProduct"],
         ),
         # hot-host map-side pruning (cfg.window_group_limit): the literal
         # cap bound must yield the WindowGroupLimit Partial+Final pair so

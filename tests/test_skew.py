@@ -102,3 +102,58 @@ def test_window_group_limit_is_semantics_preserving(spark, skewed):
     plan_off = capped_keys(skewed, politeness, base)._jdf.queryExecution().executedPlan().toString()
     assert plan_on.count("WindowGroupLimit") >= 2  # Partial below + Final above the exchange
     assert "WindowGroupLimit" not in plan_off
+
+
+def test_cap_prefilter_is_semantics_preserving(spark, skewed):
+    """cfg.cap_prefilter only shrinks the windows' input to a provable
+    superset of each host's top-cap (histogram cutoff keeps all priority
+    ties at the boundary); the schedule (rows AND ranks) must be
+    bit-identical with the knob on or off. The skewed fixture is the
+    adversarial tie case: every host's priorities collapse into 6 buckets
+    of ~30k ties each, so the cutoff bucket's occupancy dwarfs the cap."""
+    politeness = spark.createDataFrame(
+        [("hot.example", 64)], "host string, max_active int"
+    )
+    on = CrawlConfig(global_budget=2000, default_max_active=64, n_salts=8)
+    off = CrawlConfig(
+        global_budget=2000, default_max_active=64, n_salts=8, cap_prefilter=False
+    )
+    assert on.cap_prefilter  # the default — the 100 TB path is the tested path
+    r_on = schedule(skewed, politeness, on).select("seq", "rank").collect()
+    r_off = schedule(skewed, politeness, off).select("seq", "rank").collect()
+    key = lambda rows: sorted((r["seq"], r["rank"]) for r in rows)  # noqa: E731
+    assert key(r_on) == key(r_off)
+
+
+def test_cap_prefilter_negative_and_fractional_priorities(spark):
+    """Prefilter correctness where floor() must behave: negative
+    priorities (robots.txt rows ride at -1), priorities straddling a
+    bucket boundary, and a host smaller than its cap (keep-all path)."""
+    rows = [
+        # host a: 6 rows, cap 2 — boundary ties at priority 0.0099/0.01
+        ("a", 0.0099, 0, 10), ("a", 0.01, 0, 11), ("a", 0.0099, 1, 12),
+        ("a", 0.5, 0, 13), ("a", -1.0, 0, 14), ("a", -0.005, 0, 15),
+        # host b: 2 rows, cap 2 — total <= cap keeps everything
+        ("b", 3.0, 2, 20), ("b", 2.0, 1, 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, priority double, depth int, seq long"
+    ).select(
+        F.concat(F.lit("http://"), "host", F.lit("/"), F.col("seq").cast("string")).alias("url"),
+        F.md5("host").alias("url_hash"),
+        "host", "depth", "priority", "seq",
+        F.lit(None).cast("string").alias("parent"),
+        F.lit("queued").alias("state"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).cast("long").alias("enqueued_batch"),
+    )
+    politeness = spark.createDataFrame([], "host string, max_active int")
+    on = CrawlConfig(global_budget=10, default_max_active=2, n_salts=2)
+    off = CrawlConfig(global_budget=10, default_max_active=2, n_salts=2, cap_prefilter=False)
+    r_on = schedule(df, politeness, on).select("seq", "rank").collect()
+    r_off = schedule(df, politeness, off).select("seq", "rank").collect()
+    key = lambda rs: sorted((r["seq"], r["rank"]) for r in rs)  # noqa: E731
+    assert key(r_on) == key(r_off)
+    # host a's winners are the robots row (-1.0) then -0.005; host b keeps both
+    picked = {r["seq"] for r in r_on}
+    assert picked == {14, 15, 20, 21}
