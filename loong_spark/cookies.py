@@ -148,6 +148,12 @@ def cookie_col(host: Column, key: Column, snapshot: dict[str, list[str]]) -> Col
     """
     if not snapshot:
         return F.lit(None).cast("string")
+    empty = sorted(h for h, cs in snapshot.items() if not cs)
+    if empty:
+        # an empty pool would make the pmod index divide by zero — NULL
+        # with ANSI off, a whole-batch runtime error with ANSI on. A host
+        # with no cookies must be OMITTED from the snapshot (→ NULL pick).
+        raise ValueError(f"cookie snapshot has empty pool(s) for host(s): {empty}")
     entries: list[Column] = []
     for h in sorted(snapshot):
         entries.append(F.lit(h))
@@ -174,6 +180,11 @@ def proxy_col(
     into the plan as a literal map (config-file cardinality)."""
     if not pools:
         return F.lit(None).cast("string")
+    empty = sorted(h for h, ps in pools.items() if not ps)
+    if empty:
+        # same divide-by-zero hazard as cookie_col: an empty list is a
+        # config error (omit the host, or omit "*", for direct-connect)
+        raise ValueError(f"proxy_pools has empty pool(s) for: {empty}")
     entries: list[Column] = []
     for h in sorted(k for k in pools if k != "*"):
         entries.append(F.lit(h))

@@ -172,3 +172,21 @@ def test_prepare_http_assembles_headers(spark, tmp_path):
     # without a snapshot the cookie header is absent, UA still rotates
     row2 = prepare_http(df).collect()[0]
     assert row2.cookie is None and row2.ua.startswith("Mozilla/5.0")
+
+
+def test_empty_pool_lists_rejected_at_builder(spark):
+    """Defense-in-depth for ADVICE r4: an empty pool list reaching the
+    column builders would pmod by F.size()=0 — NULL only with ANSI off,
+    a whole-batch runtime error under spark.sql.ansi.enabled. CrawlConfig
+    rejects them at config time; the builders must also reject direct
+    calls so the hazard can't be constructed at all."""
+    import pytest
+
+    from loong_spark.cookies import cookie_col, proxy_col
+
+    with pytest.raises(ValueError, match="empty pool"):
+        proxy_col(F.lit("h"), F.lit("k"), {"h.example": []})
+    with pytest.raises(ValueError, match="empty pool"):
+        proxy_col(F.lit("h"), F.lit("k"), {"*": []})
+    with pytest.raises(ValueError, match="empty pool"):
+        cookie_col(F.lit("h"), F.lit("k"), {"h.example": []})
