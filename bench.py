@@ -211,6 +211,21 @@ def main():
     queries["frontier_schedule"] = fb["sec_schedule"]
     queries["frontier_dedup"] = fb["sec_dedup"]
 
+    # prefilter A/B on the same materialized input: one schedule leg with
+    # cap_prefilter off, so the recorded artifact itself shows what the
+    # radix prefilter buys (and would show a semantics-neutral regression
+    # if the prefilter ever stopped paying for its histogram pass)
+    frontier_df = spark.read.parquet("/tmp/loong_bench/frontier")
+    no_pol = spark.createDataFrame([], "host string, max_active int")
+    cfg_off = CrawlConfig(
+        global_budget=200_000, default_max_active=512, n_salts=8,
+        cap_prefilter=False,
+    )
+    t0 = time.time()
+    n_off = schedule(frontier_df, no_pol, cfg_off).count()
+    sec_schedule_off = round(time.time() - t0, 3)
+    assert n_off == fb["n_scheduled"], (n_off, fb["n_scheduled"])
+
     headline = [
         "frontier_schedule_topk", "politeness_eligibility", "priority_rescore",
         "dedup_anti_join", "upsert_latest", "host_metrics",
@@ -286,6 +301,12 @@ def main():
             ),
             "simhash_udf_vs_jvm": round(
                 queries["docs_simhash"] / max(min(jvm_samples), 1e-9), 2
+            ),
+            # radix-prefilter A/B on identical input (same JVM, right
+            # after the cycles): off-leg seconds and the on/off speedup
+            "schedule_prefilter_off_sec": sec_schedule_off,
+            "schedule_prefilter_speedup": round(
+                sec_schedule_off / max(fb["sec_schedule"], 1e-9), 2
             ),
             # raw samples: every frontier cycle and every per-entry
             # repeat, so the artifact itself shows the noise spread
