@@ -238,9 +238,18 @@ def evidence_block(latest_eff: float) -> str:
         "## Evidence vs the >= 0.8 target",
         "",
         f"**Best recorded: {best['scaling_efficiency']}"
-        f" ({'PASS' if best['pass'] else 'FAIL'}) at {best['ts']}**"
-        f" on the A/B-verified-unchanged kernel; this regeneration measured"
+        f" ({'PASS' if best['pass'] else 'FAIL'}) at {best['ts']}**;"
+        f" this regeneration measured"
         f" **{latest_eff:.3f}** in its own weather window (brackets below).",
+        "",
+        "Kernel lineage: rows up to 2026-08-19 00:38 UTC ran the pre-prefilter",
+        "scheduling kernel (A/B-verified unchanged across those trees; best",
+        "0.882); rows from 02:24 UTC onward run the per-host radix prefilter",
+        "(d614357), which cut the schedule leg's full-frontier exchange",
+        "(65.5 → 18.6 s at local[2], 22.4 → 8.6 s at local[8]) and first",
+        "recorded 1.027. Per-round throughput snapshots live in BENCH_r*.json",
+        "(bench.py; 2026-08-19 idle-box sample: 2,999,744 URLs/s at local[32],",
+        "with the artifact's own prefilter A/B at 1.24× on 32 cores).",
         "",
         "A single-tenant box cannot out-scale its hour's hardware bracket:",
         "rows whose same-session pure-CPU bracket sits below 0.8 are hours",
@@ -276,10 +285,12 @@ def render_history() -> str:
     md += [
         "",
         f"Best recorded: **{best['scaling_efficiency']}** at {best['ts']} "
-        f"(tree {best['git_sha']}). The scheduling/dedup kernel this job",
-        "drives has been A/B-verified unchanged across these trees (git",
-        "worktree, alternating runs on the same materialized input), so",
-        "spread across rows measures the box, not the code: rows whose",
+        f"(tree {best['git_sha']}). Within each kernel era (pre-prefilter",
+        "rows through 00:38 UTC 08-19, prefiltered rows after — see the",
+        "lineage note above) the scheduling/dedup kernel is A/B-verified",
+        "unchanged across trees (git worktree, alternating runs on the same",
+        "materialized input), so same-era spread measures the box, not the",
+        "code: rows whose",
         "brackets sit near 1.0 show what the job does when the hardware",
         "itself scales; rows with depressed brackets show the weather.",
         "",
