@@ -87,7 +87,11 @@ def main() -> None:
         worker(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]))
         return
 
-    n_urls = int(os.environ.get("LOONG_SCALING_URLS", "10000000"))
+    # Default to the compute-dominated 30M-URL config: at 10M the cycle is
+    # too short (~13 s at local[8]) for fixed JVM/scan overheads to amortize,
+    # so regenerations measure weather, not the kernel (see BENCH_HISTORY
+    # 2026-08-19 05:27 UTC, 0.575 at 10M vs 1.027 at 30M on the same tree).
+    n_urls = int(os.environ.get("LOONG_SCALING_URLS", "30000000"))
     # Default N=2 vs 4N=8: measured pure-CPU scaling on this box (see
     # BENCH.md) is near-linear only up to ~8 active cores (frequency
     # scaling / hypervisor ceiling above that: 8→32 pure-CPU speedup is
