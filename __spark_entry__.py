@@ -448,6 +448,22 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, q, dim=64, k=5, n_planes=6)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (spherical k-means quantizer; approximate by
+    construction → bound-checked, not value-oracled). Same EXACT TWIN as
+    emb_ann_topk — `emb_cosine_topk` (same queries vec_id < 3, same k,
+    same output shape) — so scripts/check_entry.py asserts recall ≥ 0.30
+    against the twin's DuckDB SQL (measured 0.733 at sf0.01,
+    n_list=16/n_probe=4 — probing 4/16 lists), and pytest holds the
+    ≥ 0.9 clustered-corpus bound (test_ivf_topk_recall). Training is
+    deterministic (no RNG): hash-bucket sample + md5-order init."""
+    from loong_spark.text.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(e, q, dim=64, k=5, n_list=16, n_probe=4)
+
+
 def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 front half (media download work list, ref lib/Loong/Lite.pm:50-60):
     docs synthesize interleaved spans whose media refs deliberately
@@ -815,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "robots_filter": q_robots_filter,
         "robots_parse": q_robots_parse,
         "site_comic_decode": q_site_comic_decode,

@@ -6,6 +6,10 @@
   vector maps to a sign-bit bucket; search joins only same-bucket pairs.
   Hyperplanes derive deterministically from md5(seed, plane, dim) so
   results are reproducible without storing the planes.
+* IVF-Flat ANN (spherical k-means coarse quantizer) — the second scale
+  path: centroids train driver-side on a bounded deterministic sample,
+  each corpus vector indexes into exactly ONE inverted list, queries
+  probe their n_probe nearest lists. Search is an equi-join on list_id.
 * embedding-cosine near-dup — pairs with cosine ≥ threshold.
 
 Scalar cosine stays JVM-side (F.zip_with, F.aggregate); BULK linear
@@ -291,4 +295,157 @@ def cosine_near_dup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat: spherical k-means coarse quantizer + inverted-list search.
+# Training is a SAMPLE problem (FAISS trains its quantizers on a bounded
+# sample too); ASSIGNMENT and SEARCH are the scale problems and stay
+# distributed — one Arrow matmul per batch, one equi-join on list_id.
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; zero rows stay zero (cosine 0 to everything)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0.0, 1.0, norms)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_list: int = 16,
+    n_iters: int = 10,
+    sample_limit: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids ``(n_list, dim)`` from a bounded,
+    DETERMINISTIC corpus sample — no RNG, no Date.now, reproducible
+    across runs and partitionings:
+
+    * sample membership = ``xxhash64(id) % ratio == 0`` with
+      ratio = ceil(count / sample_limit) — a hash-bucket filter is a
+      deterministic SET (unlike ``.limit`` after a scan), costs one
+      column-pruned pass, and never sorts the corpus;
+    * the collected sample (≈ sample_limit rows, hard-capped at
+      2 × sample_limit driver-side after an md5 tie-break sort of the
+      SAMPLE only) is the one bounded ``.collect()`` here — documented,
+      config-sized, the same contract as the LSH plane closures;
+    * init = every ⌊m/n_list⌋-th sample row in md5-of-id order (hash
+      order ≈ random, stable); Lloyd iterations assign by max dot on
+      unit rows (= cosine), empty clusters keep their previous centroid,
+      centroids re-normalize each round (spherical k-means).
+
+    n_list clamps to the sample size when the corpus is tiny."""
+    if n_list < 1:
+        raise ValueError(f"n_list must be >= 1, got {n_list}")
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("train_ivf_centroids: `vectors` is empty")
+    ratio = max(1, -(-n // sample_limit))  # ceil div
+    samp = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(ratio)) == 0)
+        .select(
+            F.md5(F.col(id_col).cast("string")).alias("_ord"),
+            F.col(vec_col).alias("_v"),
+        )
+        .collect()
+    )
+    samp.sort(key=lambda r: r["_ord"])
+    X = np.asarray([r["_v"] for r in samp[: 2 * sample_limit]], dtype=np.float64)
+    if X.shape[1] != dim:
+        raise ValueError(f"vector dim {X.shape[1]} != declared dim {dim}")
+    Xu = _unit_rows(X)
+    m = len(Xu)
+    k = min(n_list, m)
+    C = _unit_rows(Xu[:: max(1, m // k)][:k].copy())
+    k = len(C)  # stride rounding can undershoot on tiny samples
+    for _ in range(n_iters):
+        assign = np.argmax(Xu @ C.T, axis=1)  # first max wins ties — stable
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, Xu)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        newC[empty] = C[empty]
+        C = _unit_rows(newC)
+    return C
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Arrow-batched IVF assignment: ``array<int>`` of the ``n_probe``
+    nearest centroid ids by cosine, similarity-descending (stable-sorted
+    — deterministic under ties). One float64 matmul per batch; the
+    centroid matrix folds into the closure (config-sized, like the LSH
+    planes), so executors pay no lookup. ``n_probe=1`` indexes the
+    corpus (each vector → exactly one inverted list); queries probe
+    ``n_probe`` lists."""
+    C = _unit_rows(np.asarray(centroids, dtype=np.float64))
+    n_probe = min(n_probe, len(C))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(v: pd.Series) -> pd.Series:
+        mat = _unit_rows(np.stack(v.to_numpy()).astype(np.float64))
+        idx = np.argsort(-(mat @ C.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    sample_limit: int = 100_000,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors index into ONE
+    inverted list each (nearest centroid); each query probes its
+    ``n_probe`` nearest lists; exact cosine re-ranks the candidates.
+
+    At 100 TB the search is one equi-join on ``list_id`` — the corpus
+    side shuffles (or is bucketed) on list_id ONCE at index time and
+    every later query batch broadcasts its probed list ids against it;
+    candidate rows per query ≈ n_probe/n_list of the corpus, and unlike
+    LSH multi-probe no ``distinct()`` is needed (one list per corpus
+    vector ⇒ a (query, vector) pair can only arise once). Pass
+    ``centroids`` to reuse a trained quantizer across query batches
+    instead of re-training per call."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_list, sample_limit=sample_limit,
+            id_col=id_col, vec_col=vec_col,
+        )
+    index_udf = make_ivf_assign_udf(centroids, 1)
+    probe_udf = make_ivf_assign_udf(centroids, n_probe)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        F.element_at(index_udf(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("_qv"),
+            F.explode(probe_udf(F.col(qvec_col))).alias("list_id"),
+        )
+    )
+    scored = v.join(q, "list_id").select(
+        "query_id", "vec_id",
+        F.round(
+            cosine_col(F.col("_v").cast("array<double>"), F.col("_qv").cast("array<double>")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rk").alias("rank"))
     )

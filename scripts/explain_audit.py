@@ -51,6 +51,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "docs_lang_id": (["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
     "emb_cosine_topk": (["BroadcastNestedLoopJoin"], []),  # intentional cross: tiny query side
     "emb_ann_topk": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # IVF-Flat: probed-query side broadcasts onto the list_id equi-join;
+    # assignment is the Arrow matmul, never per-row Python
+    "emb_ivf_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
     "mm_image_features": (["MapInPandas"], ["Exchange"]),
     "upsert_latest": (["WindowGroupLimit"], []),  # Spark pushes rn==1 into the sort
     # robots_filter: the higher-order aggregate/filter lambdas legitimately

@@ -419,3 +419,84 @@ def test_simhash_udf_matches_jvm(spark, docs):
         assert rows and all(r.jvm == r.fast for r in rows), [
             (r.doc_id, r.jvm, r.fast) for r in rows if r.jvm != r.fast
         ]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-Flat recall@5 ≥ 0.9 vs brute force on a clustered corpus:
+    a cluster's members share a nearest centroid, so the query's top
+    list contains its whole near-dup cluster."""
+    from loong_spark.text.similarity import ivf_topk
+
+    rows = _clustered_vectors(n_base=40, dups_per=4, dim=16, seed=31)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 25 == 0], "query_id int, embedding array<float>"
+    )
+    exact = brute_force_topk(vecs, qs, k=5).collect()
+    approx = ivf_topk(vecs, qs, dim=16, k=5, n_list=8, n_probe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
+    # well-formed: per-query ranks are 1..n and cosines never beat exact top-1
+    best = {r["query_id"]: r["cosine"] for r in exact if r["rank"] == 1}
+    for q, rs in _group_rows(approx).items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r["cosine"] <= best[q] + 1e-9 for r in rs)
+
+
+def _group_rows(rows):
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append(r)
+    return out
+
+
+def test_ivf_deterministic(spark):
+    """Training has no RNG: same corpus → bit-identical centroids and
+    identical search results across calls (and across the hash-bucket
+    sample path when ratio > 1)."""
+    import numpy as np
+
+    from loong_spark.text.similarity import ivf_topk, train_ivf_centroids
+
+    rows = _clustered_vectors(n_base=20, dups_per=3, dim=8, seed=5)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    c1 = train_ivf_centroids(vecs, dim=8, n_list=6)
+    c2 = train_ivf_centroids(vecs, dim=8, n_list=6)
+    assert np.array_equal(c1, c2)
+    # sampled path (ratio > 1) is deterministic too
+    s1 = train_ivf_centroids(vecs, dim=8, n_list=4, sample_limit=30)
+    s2 = train_ivf_centroids(vecs, dim=8, n_list=4, sample_limit=30)
+    assert np.array_equal(s1, s2)
+    qs = spark.createDataFrame(rows[:2], "query_id int, embedding array<float>")
+    r1 = sorted(map(tuple, ivf_topk(vecs, qs, dim=8, k=3, n_list=6, n_probe=2).collect()))
+    r2 = sorted(map(tuple, ivf_topk(vecs, qs, dim=8, k=3, n_list=6, n_probe=2).collect()))
+    assert r1 == r2 and r1
+
+
+def test_ivf_train_guards(spark):
+    """Empty corpus and dim mismatch raise; n_list clamps to the sample;
+    n_probe clamps to n_list (full scan = brute-force equality)."""
+    import pytest as _pytest
+
+    from loong_spark.text.similarity import ivf_topk, train_ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(empty, dim=4)
+    tiny_rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    tiny = spark.createDataFrame(tiny_rows, "vec_id int, embedding array<float>")
+    with _pytest.raises(ValueError, match="dim"):
+        train_ivf_centroids(tiny, dim=7)
+    c = train_ivf_centroids(tiny, dim=4, n_list=16)
+    assert 1 <= len(c) <= 3
+    # probing every list == exact: equals brute force on the tiny corpus
+    qs = spark.createDataFrame(tiny_rows[:1], "query_id int, embedding array<float>")
+    exact = sorted(map(tuple, brute_force_topk(tiny, qs, k=3).collect()))
+    full = sorted(map(tuple, ivf_topk(tiny, qs, dim=4, k=3, n_list=16, n_probe=99).collect()))
+    assert full == exact
