@@ -3,6 +3,7 @@ recall/cost curve documented in SCALE.md's ANN section.
 
 Usage: python scripts/ann_sweep.py [sf_dir] [n_queries]
        (defaults: /root/testdata/sf0.01, 8 queries)
+       --ivf sweeps the IVF-Flat (n_list, n_probe) grid instead of LSH
 
 Prints one JSON line per grid point plus a markdown table; prints the
 cheapest point reaching recall 0.9, or null. Null is a MEASUREMENT, not
@@ -27,7 +28,11 @@ import sys
 sys.path.insert(0, ".")
 
 from loong_spark.session import get_spark  # noqa: E402
-from loong_spark.text.ann_tuning import best_params, sweep_ann_params  # noqa: E402
+from loong_spark.text.ann_tuning import (  # noqa: E402
+    best_params,
+    sweep_ann_params,
+    sweep_ivf_params,
+)
 
 
 def _clustered_corpus(n_base: int = 400, dups_per: int = 4, dim: int = 64, seed: int = 29):
@@ -48,8 +53,9 @@ def _clustered_corpus(n_base: int = 400, dups_per: int = 4, dim: int = 64, seed:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    args = [a for a in sys.argv[1:] if a not in ("--clustered", "--ivf")]
     clustered = "--clustered" in sys.argv[1:]
+    ivf = "--ivf" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     n_queries = int(args[1]) if len(args) > 1 else 8
     spark = get_spark("ann-sweep", cores=8)
@@ -66,14 +72,16 @@ def main() -> int:
         q = e.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-    rows = sweep_ann_params(e, q, dim=64, k=5)
+    sweep_fn = sweep_ivf_params if ivf else sweep_ann_params
+    a_key, b_key = ("n_list", "n_probe") if ivf else ("n_planes", "n_tables")
+    rows = sweep_fn(e, q, dim=64, k=5)
     for r in rows:
         print(json.dumps(r))
-    print("\n| n_planes | n_tables | recall@5 | cand/query | cost fraction |")
+    print(f"\n| {a_key} | {b_key} | recall@5 | cand/query | cost fraction |")
     print("|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['n_planes']} | {r['n_tables']} | {r['recall_at_k']} "
+            f"| {r[a_key]} | {r[b_key]} | {r['recall_at_k']} "
             f"| {r['candidates_per_query']} | {r['cost_fraction']} |"
         )
     best = best_params(rows, min_recall=0.9)

@@ -500,3 +500,30 @@ def test_ivf_train_guards(spark):
     exact = sorted(map(tuple, brute_force_topk(tiny, qs, k=3).collect()))
     full = sorted(map(tuple, ivf_topk(tiny, qs, dim=4, k=3, n_list=16, n_probe=99).collect()))
     assert full == exact
+
+
+def test_ivf_tuning_sweep(spark):
+    """The IVF (n_list, n_probe) harness: same row shape as the LSH
+    sweep (best_params works on it); more probes at fixed n_list never
+    hurts recall (probed lists are a superset) and never costs less;
+    the clustered corpus reaches the 0.9 floor below brute-force cost."""
+    from loong_spark.text.ann_tuning import best_params, sweep_ivf_params
+
+    rows = _clustered_vectors(n_base=60, dups_per=4, dim=16, seed=31)
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows if r[0] % 60 == 0],
+        "query_id int, embedding array<float>",
+    )
+    grid = [(8, 1), (8, 3), (16, 2)]
+    sweep = sweep_ivf_params(vecs, qs, dim=16, k=5, grid=grid)
+    by = {(r["n_list"], r["n_probe"]): r for r in sweep}
+    assert set(by) == set(grid)
+    assert by[(8, 3)]["recall_at_k"] >= by[(8, 1)]["recall_at_k"]
+    assert by[(8, 3)]["candidates_per_query"] >= by[(8, 1)]["candidates_per_query"]
+    assert all(r["cost_fraction"] < 1.0 for r in sweep)
+    best = best_params(sweep, min_recall=0.9)
+    assert best is not None
+    # cand/query from the list histogram must equal n_probe/n_list-ish
+    # coverage: never more than the whole corpus
+    assert all(r["candidates_per_query"] <= len(rows) for r in sweep)
