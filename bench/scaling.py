@@ -253,7 +253,12 @@ def evidence_block(latest_eff: float) -> str:
         "(65.5 → 18.6 s at local[2], 22.4 → 8.6 s at local[8]) and first",
         "recorded 1.027. Per-round throughput snapshots live in BENCH_r*.json",
         "(bench.py; 2026-08-19 idle-box sample: 2,999,744 URLs/s at local[32],",
-        "with the artifact's own prefilter A/B at 1.24× on 32 cores).",
+        "with the artifact's own prefilter A/B at 1.24× on 32 cores). Two",
+        "consecutive bench.py runs on the FINAL round-5 tree (2026-08-19",
+        "~13:00 UTC, idle box) measured 1,979,095 and 2,822,249 URLs/s — a",
+        "1.43× spread from the documented ±2× weather waves; the raw",
+        "per-cycle times now recorded in each artifact's `extra` are what",
+        "let a reader tell that spread from a code regression.",
         "",
         "A single-tenant box cannot out-scale its hour's hardware bracket:",
         "rows whose same-session pure-CPU bracket sits below 0.8 are hours",
