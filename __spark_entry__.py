@@ -627,6 +627,81 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol XML parsing (sitemap.parse_sitemap; sitemaps.org
+    — beyond-reference like robots: the reference seeds from static INI
+    lists only). Each doc synthesizes a sitemap file: even doc_ids a
+    urlset (whitespace-padded + entity-escaped loc, lastmod/priority
+    fields, a malformed priority → NULL, an empty-loc block that must be
+    dropped), odd doc_ids a sitemapindex over two child sitemaps. All
+    extraction is codegen regex; the oracle states the parsed output
+    arithmetically (the fixed point — any parse defect hash-mismatches)."""
+    from loong_spark.sitemap import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    lastmod = F.format_string(
+        "2026-%02d-%02d",
+        F.pmod(F.col("doc_id"), F.lit(9)) + 1,
+        F.pmod(F.col("doc_id"), F.lit(28)) + 1,
+    )
+    prio = F.concat(F.lit("0."), (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "  <url><loc>  http://s"), sid, F.lit(".example/a?x=1&amp;y=2  </loc>"
+              "<lastmod>"), lastmod, F.lit("</lastmod><priority>"), prio,
+        F.lit("</priority></url>\n  <url><loc>http://s"), sid,
+        F.lit(".example/b</loc><changefreq>daily</changefreq>"
+              "<priority>high</priority></url>\n"
+              "  <url><loc>   </loc></url>\n</urlset>\n"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "  <sitemap><loc>http://s"), sid, F.lit(".example/sm-0.xml</loc>"
+              "<lastmod>"), lastmod, F.lit("</lastmod></sitemap>\n"
+              "  <sitemap><loc>http://s"), sid,
+        F.lit(".example/sm-1.xml</loc></sitemap>\n</sitemapindex>\n"),
+    )
+    xml = F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, urlset).otherwise(index)
+    parsed = parse_sitemap(d.select("doc_id", xml.alias("xml")), keep=("doc_id",))
+    return parsed.select(
+        "doc_id", "kind",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        "loc", "lastmod", "changefreq", "priority",
+    )
+
+
+def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` robots-directive extraction (sitemap.sitemap_lines_col
+    — the discovery half of cfg.fetch_sitemaps). Each doc synthesizes a
+    robots file: one fifth advertise NO sitemap (empty result), one
+    quarter two sitemaps (the second with sloppy case, padding, and a
+    trailing comment), the rest one; odd docs use CRLF line ends, every
+    third doc a leading BOM. Oracle states the extracted URL list."""
+    from loong_spark.sitemap import sitemap_lines_col
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    nl = F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 1, "\r\n").otherwise("\n")
+    bom = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "\ufeff").otherwise("")
+    sm1 = F.concat(F.lit("Sitemap: http://h"), sid, F.lit(".example/sitemap.xml"))
+    sm2 = F.concat(F.lit("sitemap:   http://h"), sid,
+                   F.lit(".example/sm2.xml   # mirror"))
+    m5 = F.pmod(F.col("doc_id"), F.lit(5))
+    m4 = F.pmod(F.col("doc_id"), F.lit(4))
+    tail = F.when(m5 == 0, F.lit("")).otherwise(
+        F.when(m4 == 0, F.concat(sm1, nl, sm2, nl)).otherwise(F.concat(sm1, nl))
+    )
+    txt = F.concat(
+        bom, F.lit("User-agent: *"), nl, F.lit("Disallow: /private/"), nl, tail
+    )
+    return d.select(
+        "doc_id", F.array_join(sitemap_lines_col(txt), "|").alias("sitemaps")
+    )
+
+
 def q_site_term_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 CN-label term map (sites.term_lookup_col, ref
     lib/Loong/Scraper/Hupu.pm:6-39): each doc carries one CN stat label
@@ -834,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "robots_filter": q_robots_filter,
         "robots_parse": q_robots_parse,
+        "sitemap_parse": q_sitemap_parse,
+        "sitemap_discover": q_sitemap_discover,
         "site_comic_decode": q_site_comic_decode,
         "site_js_unwrap": q_site_js_unwrap,
         "site_form_synth": q_site_form_synth,
@@ -1237,6 +1314,48 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0
                         THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
             FROM documents WHERE doc_id % 3 < 2""",
+        # sitemap oracles state the EXPECTED parse output arithmetically
+        # (the Spark side builds the XML/robots text then parses it — the
+        # oracle is the fixed point, so any extraction defect, including
+        # trim/entity/comment/BOM handling, hash-mismatches)
+        "sitemap_parse": """
+            WITH e0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+                     CAST(0 AS BIGINT) AS entry_idx,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'http://s' || CAST(doc_id AS VARCHAR) || '.example/a?x=1&y=2'
+                          ELSE 'http://s' || CAST(doc_id AS VARCHAR) || '.example/sm-0.xml'
+                     END AS loc,
+                     printf('2026-%02d-%02d', doc_id % 9 + 1, doc_id % 28 + 1) AS lastmod,
+                     '' AS changefreq,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE)
+                     END AS priority
+              FROM documents
+            ), e1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+                     CAST(1 AS BIGINT) AS entry_idx,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'http://s' || CAST(doc_id AS VARCHAR) || '.example/b'
+                          ELSE 'http://s' || CAST(doc_id AS VARCHAR) || '.example/sm-1.xml'
+                     END AS loc,
+                     '' AS lastmod,
+                     CASE WHEN doc_id % 2 = 0 THEN 'daily' ELSE '' END AS changefreq,
+                     CAST(NULL AS DOUBLE) AS priority
+              FROM documents
+            )
+            SELECT * FROM e0 UNION ALL SELECT * FROM e1""",
+        "sitemap_discover": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ''
+                        WHEN doc_id % 4 = 0
+                        THEN 'http://h' || CAST(doc_id AS VARCHAR) || '.example/sitemap.xml'
+                             || '|http://h' || CAST(doc_id AS VARCHAR) || '.example/sm2.xml'
+                        ELSE 'http://h' || CAST(doc_id AS VARCHAR) || '.example/sitemap.xml'
+                   END AS sitemaps
+            FROM documents""",
         # site_* oracles state the EXPECTED output directly (the Spark
         # side encodes then decodes / wraps then unwraps — the oracle is
         # the fixed point, so any transform defect hash-mismatches)

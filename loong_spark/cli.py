@@ -85,9 +85,13 @@ def cmd_crawl(args) -> int:
         over["global_budget"] = args.budget
     if args.max_batches is not None:
         over["max_batches"] = args.max_batches
-    for flag in ("fetch_robots", "log_requests", "download_media"):
+    for flag in ("fetch_robots", "fetch_sitemaps", "log_requests", "download_media"):
         if getattr(args, flag):
             over[flag] = True
+    # demo sitemaps are advertised via robots `Sitemap:` lines, so
+    # discovery needs the robots fetch path on
+    if args.demo and getattr(args, "fetch_sitemaps", False):
+        over["fetch_robots"] = True
     if over:
         import dataclasses
 
@@ -106,7 +110,11 @@ def cmd_crawl(args) -> int:
                 seeds_of,
             )
 
-            p = GraphParams(n_pages=args.demo_pages, robots_pages=args.fetch_robots)
+            p = GraphParams(
+                n_pages=args.demo_pages,
+                robots_pages=cfg.fetch_robots,
+                sitemap_pages=cfg.fetch_sitemaps,
+            )
             if args.parse:  # raw-HTML bodies → production decode+parse path
                 graph = spark.createDataFrame(
                     graph_rows_html_for_spark(p), schemas.WEB_GRAPH_HTML
@@ -115,7 +123,7 @@ def cmd_crawl(args) -> int:
                 graph = spark.createDataFrame(graph_rows_for_spark(p), schemas.WEB_GRAPH)
             # fetch_robots: rules are DISCOVERED by crawling /robots.txt,
             # not handed to bootstrap
-            politeness = [] if args.fetch_robots else list(politeness_of(p).values())
+            politeness = [] if cfg.fetch_robots else list(politeness_of(p).values())
             seeds = seeds_of(p)
         else:
             if not args.graph or not args.seeds_file:
@@ -255,6 +263,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="fetch+parse /robots.txt on host discovery instead of "
         "bootstrapping politeness rules (demo graph gains robots pages)",
+    )
+    c.add_argument(
+        "--fetch-sitemaps",
+        action="store_true",
+        help="ingest the sitemaps protocol: Sitemap: lines of fetched "
+        "robots files and <loc> URLs of fetched sitemap XML join the "
+        "link stream (implies --fetch-robots in demo mode, which is how "
+        "the demo graph advertises its sitemaps)",
     )
     c.add_argument(
         "--parse", action="store_true",

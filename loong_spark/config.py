@@ -105,6 +105,18 @@ class CrawlConfig:
     fetch_robots: bool = False
     #: the UA string robots.txt group selection matches (RFC 9309)
     robots_agent: str = "loong"
+    #: sitemaps-protocol ingestion (sitemaps.org; beyond-reference like
+    #: robots — the reference seeds only from static INI lists): when
+    #: True, (a) a fetched 200 whose content type is XML and whose body
+    #: is a urlset/sitemapindex document has its <loc> URLs injected
+    #: into the batch's link stream (sitemap.sitemap_locs_col) — child
+    #: sitemaps of an index are just URLs, re-fetched and re-parsed next
+    #: round, with cycles killed by the URL-seen filter — and (b) with
+    #: fetch_robots also on, `Sitemap:` lines of fetched robots files
+    #: enqueue the advertised sitemap URLs the same way. Discovered locs
+    #: ride the EXISTING canonicalize → dedup → robots → priority path:
+    #: zero new shuffles or state tables, O(batch) extra work.
+    fetch_sitemaps: bool = False
 
     #: S6 raw-page cache (reference cache_resouce, /root/reference/
     #: lib/Loong/Crawler.pm:307-323 — per-md5(url) files on disk): when

@@ -49,6 +49,13 @@ class GraphParams:
     #: with a robots policy, 404 otherwise) — the cfg.fetch_robots
     #: in-crawl robots fixtures
     robots_pages: bool = False
+    #: include per-host sitemap pages and advertise them via `Sitemap:`
+    #: robots lines — the cfg.fetch_sitemaps fixtures: odd hosts serve a
+    #: two-level sitemapindex, even hosts a flat urlset; entries cover
+    #: whitespace-padded locs, lastmod/priority fields, a cross-host
+    #: loc, a dangling loc (fetch-fails → retry path), and overlap with
+    #: link-reachable pages (dedup path)
+    sitemap_pages: bool = False
 
 
 @lru_cache(maxsize=16)
@@ -257,15 +264,20 @@ def robots_txt_of(p: GraphParams, k: int) -> str | None:
     of the rest, a deterministic third serve nothing (None → 404, the
     stay-on-defaults path) and the others a Crawl-delay-only file."""
     pol = politeness_of(p)[f"h{k}.example"]
+    # sitemap_pages: the robots file ADVERTISES the host's sitemap (the
+    # sitemaps-protocol discovery path) — appended, so rule parsing is
+    # byte-identical with the flag off
+    sm = f"Sitemap: http://h{k}.example/sitemap.xml\n" if p.sitemap_pages else ""
     if not pol.robots_disallow and not pol.robots_allow:
         if _h(p.seed, "norobots", k) % 3 == 0:
             return None
-        return f"# synthetic robots\nUser-agent: *\nCrawl-delay: {pol.delay_s}\n"
+        return f"# synthetic robots\nUser-agent: *\nCrawl-delay: {pol.delay_s}\n{sm}"
     return (
         "# synthetic robots\nUser-agent: *\n"
         + "".join(f"Disallow: {r}\n" for r in pol.robots_disallow)
         + "".join(f"Allow: {r}\n" for r in pol.robots_allow)
         + f"Crawl-delay: {pol.delay_s}\n"
+        + sm
     )
 
 
@@ -289,6 +301,101 @@ def gen_robots_page(p: GraphParams, k: int) -> dict:
         ),
         "out_links": [],
     }
+
+
+def sitemap_url_of(host: str, part: int | None = None) -> str:
+    return (
+        f"http://{host}/sitemap.xml"
+        if part is None
+        else f"http://{host}/sitemap-{part}.xml"
+    )
+
+
+def _sitemap_listed_pids(p: GraphParams, k: int) -> list[int]:
+    """Deterministic subset of host k's pages its sitemap lists — some
+    overlap the link graph (dedup path), some are sitemap-only orphans
+    (the discovery value a real sitemap provides)."""
+    return [
+        pid
+        for pid in range(p.n_pages)
+        if host_of(p, pid) == k and _h(p.seed, "smlist", pid) % 2 == 0
+    ]
+
+
+def _urlset_xml(p: GraphParams, k: int, pids: list[int], extras=()) -> str:
+    """urlset XML: whitespace-padded locs + lastmod/priority fields
+    exercise the parser's trim and the rich parse_sitemap extraction."""
+    rows = []
+    for pid in pids:
+        lastmod = (
+            f"2026-0{1 + _h(p.seed, 'smmod', pid) % 9}-"
+            f"{1 + _h(p.seed, 'smday', pid) % 28:02d}"
+        )
+        prio = (1 + _h(p.seed, "smprio", pid) % 10) / 10
+        rows.append(
+            f"  <url><loc>  {page_url(p, pid)}  </loc>"
+            f"<lastmod>{lastmod}</lastmod><priority>{prio}</priority></url>"
+        )
+    rows += [f"  <url><loc>{loc}</loc></url>" for loc in extras]
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(rows)
+        + "\n</urlset>\n"
+    )
+
+
+def sitemap_docs_of(p: GraphParams, k: int) -> list[tuple[str, str, str]]:
+    """(url, xml, content_type) rows for host k's sitemap tree: even
+    hosts a flat urlset, odd hosts a sitemapindex over 1-2 child
+    urlsets; extras add a cross-host loc (k%5) and a dangling loc that
+    404s into the retry path (k%7). Only advertised hosts (those whose
+    robots file exists to carry the Sitemap line) serve one."""
+    if not p.sitemap_pages or robots_txt_of(p, k) is None:
+        return []
+    host = f"h{k}.example"
+    ct = "application/xml" if k % 2 == 0 else "text/xml; charset=UTF-8"
+    pids = _sitemap_listed_pids(p, k)
+    extras = []
+    if k % 5 == 0 and p.n_hosts > 1:
+        extras.append(page_url(p, (k + 1) % p.n_hosts))
+    if k % 7 == 0:
+        extras.append(f"http://{host}/ghost-{k}")
+    if k % 2 == 0:
+        return [(sitemap_url_of(host), _urlset_xml(p, k, pids, extras), ct)]
+    parts = [pids[0::2], pids[1::2]] if k % 4 == 3 else [pids]
+    children = [sitemap_url_of(host, i) for i in range(len(parts))]
+    idx = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(f"  <sitemap><loc>{c}</loc></sitemap>" for c in children)
+        + "\n</sitemapindex>\n"
+    )
+    out = [(sitemap_url_of(host), idx, ct)]
+    for i, (c, part) in enumerate(zip(children, parts)):
+        out.append((c, _urlset_xml(p, k, part, extras if i == 0 else ()), ct))
+    return out
+
+
+def gen_sitemap_pages(p: GraphParams, k: int) -> list[dict]:
+    """Host k's sitemap tree as WEB_GRAPH span-mode rows (the XML text
+    rides a single text span, like gen_robots_page's rules text)."""
+    out = []
+    for url, xml, ct in sitemap_docs_of(p, k):
+        out.append(
+            {
+                "url": url,
+                "url_hash": url_md5(url),
+                "host": f"h{k}.example",
+                "status": 200,
+                "content_type": ct,
+                "body_spans": [
+                    {"kind": "text", "text": xml, "media_ref": "", "offset": 0}
+                ],
+                "out_links": [],
+            }
+        )
+    return out
 
 
 def gen_page(p: GraphParams, pid: int) -> dict:
@@ -315,6 +422,10 @@ def build_graph(p: GraphParams) -> dict[str, dict]:
         for k in range(p.n_hosts):
             pg = gen_robots_page(p, k)
             graph[pg["url"]] = pg
+    if p.sitemap_pages:
+        for k in range(p.n_hosts):
+            for pg in gen_sitemap_pages(p, k):
+                graph[pg["url"]] = pg
     return graph
 
 
@@ -384,4 +495,17 @@ def graph_rows_html_for_spark(p: GraphParams) -> list[dict]:
                     "body": txt.encode("utf-8") if txt is not None else b"",
                 }
             )
+    if p.sitemap_pages:
+        for k in range(p.n_hosts):
+            for url, xml, ct in sitemap_docs_of(p, k):
+                out.append(
+                    {
+                        "url": url,
+                        "url_hash": url_md5(url),
+                        "host": f"h{k}.example",
+                        "status": 200,
+                        "content_type": ct,
+                        "body": xml.encode("utf-8"),
+                    }
+                )
     return out

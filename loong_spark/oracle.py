@@ -42,6 +42,7 @@ from .canon_core import canonicalize, robots_match, split_url, url_md5
 from .config import CrawlConfig, HostPolicy
 from .gen import GraphParams, build_graph, politeness_of, seeds_of
 from .robots_core import delay_from_robots, parse_robots_text
+from .sitemap_core import is_sitemap, sitemap_lines, sitemap_locs
 
 
 @dataclass
@@ -205,7 +206,17 @@ class Oracle:
                     failed += 1
                 else:
                     e.state = "fetched"
-                    robots_fetched.append((e.host, page["body_spans"][0]["text"]))
+                    txt = page["body_spans"][0]["text"]
+                    robots_fetched.append((e.host, txt))
+                    if self.cfg.fetch_sitemaps:
+                        # sitemaps-protocol discovery: `Sitemap:` lines
+                        # enqueue as the robots page's links, in line
+                        # order (pipeline's raw-link union twin)
+                        for loc in sitemap_lines(txt):
+                            canon = canonicalize(e.url, loc)
+                            if canon:
+                                links += 1
+                                self._enqueue(canon, e.depth + 1, e.url, batch_id)
                 continue
             if page is None or page["status"] != 200:
                 e.state = "failed"
@@ -221,6 +232,20 @@ class Oracle:
                 # here too in span representation
                 e.state = "failed_empty"
                 self._batch_empty += 1
+                continue
+            if self.cfg.fetch_sitemaps and is_sitemap(
+                page["content_type"], page["body_spans"][0]["text"]
+            ):
+                # fetched urlset/sitemapindex: <loc> URLs enqueue as the
+                # sitemap page's links in document order; an index's
+                # children are just URLs (re-fetched + re-gated next
+                # round, cycles killed by the seen filter). No doc is
+                # written — sitemaps are frontier input, not content.
+                for loc in sitemap_locs(page["body_spans"][0]["text"]):
+                    canon = canonicalize(e.url, loc)
+                    if canon:
+                        links += 1
+                        self._enqueue(canon, e.depth + 1, e.url, batch_id)
                 continue
             if not page["content_type"].startswith("text/html"):
                 continue  # F2 content gate: fetched, not parsed

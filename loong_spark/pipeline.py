@@ -43,6 +43,7 @@ from .cookies import prepare_http
 from .media import MEDIA_BLOB, fetch_media, media_manifest
 from .robots import parse_robots, politeness_from_robots
 from .rules import links_of, parse_pages_bytes, spans_of
+from .sitemap import is_sitemap_col, sitemap_lines_col, sitemap_locs_col
 from .store import SnapshotStore
 
 HOST_STATE = T.StructType(
@@ -182,9 +183,14 @@ def obs_vals(obs: Observation, **defaults: int) -> dict[str, int]:
     When the optimizer / AQE proves the observed branch empty
     (PropagateEmptyRelation), the CollectMetrics node is pruned and the
     JVM observation holds a schemaless empty Row — ``obs.get`` then dies
-    in toPyRow. Pruning can ONLY happen because zero rows flowed, so the
-    defaults (counts/sums over an empty input = 0) are exact, not a
-    guess. NULL metrics (SUM over zero rows) get the same treatment."""
+    in toPyRow. For PASS-THROUGH counts (the metric counts/sums rows the
+    caller then keeps) pruning implies zero input rows, so a 0 default
+    is exact. For DROPPED-row counts that is NOT true — an AQE re-plan
+    after a downstream-empty stage prunes a mid-plan CollectMetrics even
+    though rows flowed into the filter (seen on all-duplicate admit
+    batches) — so such callers must pass a sentinel default and recount
+    (see _admit's obs_robots handling). NULL metrics (SUM over zero
+    rows) get the same default treatment."""
     try:
         row = obs.get
     except Exception as e:  # Py4JJavaError from toPyRow on the empty row
@@ -443,7 +449,7 @@ class CrawlPipeline:
         # exempt). The dropped-count is observed in-flight on the commit
         # action below, not recomputed.
         obs_robots = Observation()
-        links = (
+        flagged = (
             links.join(pol, "host", "left")
             .withColumn("_path", path_col(F.col("url")))
             .withColumn(
@@ -451,7 +457,9 @@ class CrawlPipeline:
                 F.col("is_robots")
                 | robots_allowed(F.col("_path"), F.col("robots_disallow"), F.col("robots_allow")),
             )
-            .observe(
+        )
+        links = (
+            flagged.observe(
                 obs_robots,
                 F.coalesce(
                     F.sum(F.when(~F.col("_allowed"), 1).otherwise(0)), F.lit(0)
@@ -567,7 +575,17 @@ class CrawlPipeline:
             "url_hash", "host", F.lit(batch_id).cast("long").alias("seen_batch")
         )
         stats = obs_vals(obs_new, n_new=0, n_entries=0)
-        stats.update(obs_vals(obs_robots, robots_dropped=0))
+        # obs_robots counts DROPPED rows, so the obs_vals zero-default is
+        # NOT exact for it: when a batch admits zero entries, AQE's
+        # empty-relation re-plan prunes the mid-plan CollectMetrics even
+        # though candidate rows flowed INTO the filter (the pruned-means-
+        # empty-input rule holds only for pass-through counts). Detect
+        # the pruned case and recount exactly from the materialized
+        # candidate set — O(batch), and only on all-duplicate batches.
+        rd = obs_vals(obs_robots, robots_dropped=-1)["robots_dropped"]
+        if rd < 0:
+            rd = flagged.filter(~F.col("_allowed")).count()
+        stats["robots_dropped"] = rd
         return new_entries.drop("is_robots"), new_seen, stats
 
     def _read_frontier(self) -> DataFrame:
@@ -901,6 +919,53 @@ class CrawlPipeline:
                 F.col("rank").alias("parent_rank"),
                 (F.col("depth") + 1).alias("depth"),
                 F.posexplode("out_links").alias("link_idx", "href"),
+            )
+
+        # -- sitemaps-protocol discovery (cfg.fetch_sitemaps): fetched
+        # urlset/sitemapindex XML emits its <loc> URLs, and (with
+        # fetch_robots) a fetched robots file emits its `Sitemap:` lines
+        # — both as ordinary rows of the raw-link stream (parent = the
+        # sitemap/robots URL, link_idx = document/line order), so they
+        # ride the existing canonicalize → dedup → robots-filter →
+        # priority path with zero new shuffles or state. Child sitemaps
+        # of an index are just URLs: re-fetched, re-gated by content
+        # next round, cycles dedup away at the URL-seen filter. All
+        # extraction is per-row codegen regex (sitemap.py); the oracle
+        # twin mirrors both branches (oracle.py run_batch).
+        if cfg.fetch_sitemaps:
+            # try_element_at: empty-span pages (F3 empties) must yield
+            # NULL here, not an ANSI out-of-bounds error — the robots
+            # refresh below can use plain element_at only because its
+            # input is pre-filtered to 200s with a body. In parse mode
+            # the decode hides behind a lazy CASE on the content type:
+            # gbk/latin-1 HTML bodies must never reach the UTF-8 decode
+            # (ANSI malformed-coding error), while a non-UTF-8 sitemap
+            # fails LOUDLY — the protocol mandates UTF-8 sitemaps.
+            body_txt = (
+                F.when(
+                    F.col("content_type").rlike("(?i)xml") | is_robots_row,
+                    F.decode(F.col("body"), "UTF-8"),
+                )
+                if parse_mode
+                else F.try_element_at(F.col("body_spans"), F.lit(1))["text"]
+            )
+            sm = ok.filter(~is_robots_row).filter(
+                is_sitemap_col(F.col("content_type"), body_txt)
+            ).select("url", "rank", "depth", sitemap_locs_col(body_txt).alias("_locs"))
+            if cfg.fetch_robots:
+                sm = sm.unionByName(
+                    ok.filter(is_robots_row).select(
+                        "url", "rank", "depth",
+                        sitemap_lines_col(body_txt).alias("_locs"),
+                    )
+                )
+            raw_links = raw_links.unionByName(
+                sm.select(
+                    F.col("url").alias("parent"),
+                    F.col("rank").alias("parent_rank"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.posexplode("_locs").alias("link_idx", "href"),
+                )
             )
 
         # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1).

@@ -1,0 +1,139 @@
+"""Sitemap discovery + parsing, pure JVM built-ins (no Python UDFs).
+
+The reference seeds crawls from static INI lists
+(/root/reference/conf/site/hupu.com/crawl.ini `entry.home`); a
+production frontier also ingests the sitemaps protocol (sitemaps.org;
+the `Sitemap:` robots.txt extension): robots files ADVERTISE sitemap
+URLs, sitemap files LIST page URLs (urlset) or child sitemaps
+(sitemapindex). Everything here is a per-fetched-row string expression
+— whole-stage-codegen regex/higher-order-function work, O(batch) with
+ZERO new shuffles or state tables: discovered locs are injected into
+the pipeline's existing raw-link stream (pipeline.py) and ride the
+same canonicalize → bloom/seen dedup → robots filter → priority →
+admit path as `<a href>` links. That reuse is also what bounds
+sitemapindex recursion at scale: a child sitemap is just a URL, so a
+cyclic or self-referencing index dedups away at the URL-seen filter
+instead of looping.
+
+Semantics are the pure twin's (sitemap_core.py — entity-decoded
+trimmed `<loc>` values in document order; agent-independent `Sitemap:`
+lines); parity is pytest-enforced on a shared battery plus a
+Hypothesis property test (tests/test_sitemap.py). Regex-based block
+extraction is deliberate: sitemap XML is machine-generated and
+regular, the expression stays in codegen, and the SAME regex restates
+in DuckDB for the driver oracle (CDATA-wrapped locs are a documented
+non-goal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sitemap_core import _ENTITIES
+
+#: JVM regex twins of sitemap_core's patterns (Java and Python regex
+#: agree on every construct used: (?s)/(?i) flags, lazy .*?, \s)
+LOC_PATTERN = r"(?s)<loc\s*>(.*?)</loc\s*>"
+ROOT_PATTERN = r"<\s*(urlset|sitemapindex)[\s>]"
+
+
+def _wtrim(c: Column) -> Column:
+    # Java-\s trim, byte-identical to robots.py's and the pure twin's
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def xml_unescape_col(c: Column) -> Column:
+    """Decode the five predefined XML entities; ``&amp;`` LAST so
+    ``&amp;lt;`` yields the literal ``&lt;`` (mirrors
+    sitemap_core.xml_unescape's replacement order)."""
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def sitemap_lines_col(txt: Column) -> Column:
+    """robots.txt text → array of ``Sitemap:`` URL values in line
+    order (agent-independent per the protocol; duplicates kept — the
+    frontier's URL-seen filter dedups downstream)."""
+    lines = F.split(F.regexp_replace(txt, "^\ufeff+", ""), "\r?\n")
+    vals = F.transform(
+        lines,
+        lambda l: _wtrim(
+            F.regexp_extract(
+                _wtrim(F.regexp_replace(l, "#.*$", "")),
+                r"(?i)^sitemap\s*:(.*)$",
+                1,
+            )
+        ),
+    )
+    return F.filter(vals, lambda v: v != "")
+
+
+def sitemap_locs_col(txt: Column) -> Column:
+    """sitemap XML text → array of ``<loc>`` values in document order,
+    trimmed + entity-decoded (urlset page URLs or sitemapindex child
+    sitemaps — valid files never mix the two, so one expression serves
+    both; the caller tells them apart by re-fetching)."""
+    raw = F.regexp_extract_all(txt, F.lit(LOC_PATTERN), F.lit(1))
+    vals = F.transform(raw, lambda v: xml_unescape_col(_wtrim(v)))
+    return F.filter(vals, lambda v: v != "")
+
+
+def is_sitemap_col(content_type: Column, txt: Column) -> Column:
+    """Content gate: XML content type AND urlset/sitemapindex root.
+    NULL-safe (a missing body is not a sitemap)."""
+    return (
+        content_type.isNotNull()
+        & txt.isNotNull()
+        & content_type.rlike("(?i)xml")
+        & txt.rlike(ROOT_PATTERN)
+    )
+
+
+def parse_sitemap(
+    df: DataFrame, xml_col: str = "xml", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Rich per-entry parse for ETL/audit use (the in-pipeline hot path
+    uses sitemap_locs_col, which only needs the URLs): explode
+    ``<url>``/``<sitemap>`` blocks in document order and extract the
+    protocol's per-entry fields.
+
+    Returns ``keep`` passthrough columns plus (kind 'url'|'sitemap',
+    entry_idx, loc, lastmod, changefreq, priority double|null) — one
+    row per block that carries a non-empty ``<loc>``. lastmod stays a
+    string (the protocol allows date OR full W3C datetime); a malformed
+    priority is NULL, not an ANSI cast error."""
+    xml = F.col(xml_col)
+    blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"), F.lit(1)
+    )
+    kind = F.when(
+        xml.rlike(r"<\s*sitemapindex[\s>]"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    out = (
+        df.select(*keep, kind.alias("kind"), F.posexplode(blocks).alias("entry_idx", "_b"))
+        .withColumn(
+            "loc",
+            xml_unescape_col(_wtrim(F.regexp_extract("_b", LOC_PATTERN, 1))),
+        )
+        .filter(F.col("loc") != "")
+        .withColumn(
+            "lastmod",
+            _wtrim(F.regexp_extract("_b", r"(?s)<lastmod\s*>(.*?)</lastmod\s*>", 1)),
+        )
+        .withColumn(
+            "changefreq",
+            _wtrim(
+                F.regexp_extract("_b", r"(?s)<changefreq\s*>(.*?)</changefreq\s*>", 1)
+            ),
+        )
+        .withColumn(
+            "priority",
+            _wtrim(
+                F.regexp_extract("_b", r"(?s)<priority\s*>(.*?)</priority\s*>", 1)
+            ).try_cast("double"),
+        )
+        .drop("_b")
+    )
+    return out

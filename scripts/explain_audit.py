@@ -70,6 +70,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "site_date_norm": ([], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]),
     # U1 parse path: Arrow-batched mapInPandas, no per-row Python UDF
     "parse_spans": (["MapInPandas"], ["BatchEvalPython"]),
+    # sitemaps protocol: per-entry explode + regex extraction is all
+    # JVM generate/project work riding the scan — zero shuffle, zero
+    # Python (at 100 TB sitemap parsing is a map-only stage)
+    "sitemap_parse": (
+        ["Generate"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    ),
+    "sitemap_discover": (
+        [], ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"],
+    ),
     # §3.3 Lite flow: dispatch + effective-body selection ride the page
     # scan (no join — joining pages onto routed would shuffle the body
     # corpus); parse is Arrow-batched; only the span/manifest groupBys

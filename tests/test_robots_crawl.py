@@ -250,3 +250,43 @@ def test_wildcard_rules_e2e_matches_oracle(spark, warehouse):
     assert f"http://{a}/file.bind" in crawled, "$ must anchor, not prefix-match"
     assert f"http://{a}/p/1?page=2" not in crawled, "Disallow: /*? inert"
     assert f"http://{a}/file.bin" not in crawled, "Disallow: /*.bin$ inert"
+
+
+def test_all_duplicate_batch_still_counts_robots_drops(spark, warehouse):
+    """Regression (found via the sitemap fixtures, but independent of
+    them): when a batch admits ZERO new entries, AQE's empty-relation
+    re-plan prunes the in-flight robots_dropped CollectMetrics even
+    though candidates flowed into the filter — the old zero-default then
+    misclassified robots drops as dedups in the metrics row. Scenario:
+    /x/1 is enqueued pre-rules (batch 1, enters seen), schedule-dropped
+    when the rules land, then RE-linked by a later page in a batch whose
+    every other candidate is also already seen — that batch has 0 new
+    entries and 1 robots drop, and must still match the oracle exactly."""
+    a = "a.example"
+    seed = f"http://{a}/"
+    graph = {}
+    for page in [
+        # batch 1: seed links /x/1 (rules unknown — admitted, seen) + p/2
+        mk_page(seed, links=[f"http://{a}/x/1", f"http://{a}/p/2"]),
+        mk_page(
+            robots_url_of(a),
+            content_type="text/plain",
+            spans=[_span("User-agent: *\nDisallow: /x/\nCrawl-delay: 1\n")],
+        ),
+        # later batch: p/2 re-links /x/1 (robots-blocked, already seen)
+        # and the seed (already seen) — zero admissible candidates
+        mk_page(f"http://{a}/p/2", links=[f"http://{a}/x/1", seed]),
+        mk_page(f"http://{a}/x/1"),
+    ]:
+        graph[page["url"]] = page
+
+    cfg = CrawlConfig(global_budget=20, fetch_robots=True, use_bloom=False)
+    golden = Oracle(graph, [seed], {}, cfg).run()
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [seed], cfg)
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+    # pin the scenario shape: batch 2 discovers 2 links, admits none —
+    # 1 is a dedup (the seed), 1 a robots drop (/x/1). The old default
+    # would have reported urls_deduped=2 here.
+    b2 = golden.metrics[1]
+    assert (b2["links_discovered"], b2["urls_deduped"]) == (2, 1)

@@ -1,0 +1,310 @@
+"""Sitemaps-protocol support (cfg.fetch_sitemaps): `Sitemap:` robots
+lines, urlset/sitemapindex parsing, and in-crawl discovery — JVM ≡
+pure-twin parity (fixtures + Hypothesis), rich-field extraction, and
+full e2e crawls asserted EXACTLY against the oracle in both fetch
+modes, including a cyclic sitemapindex (terminates via URL-seen dedup)
+and a sitemap-seeded crawl with fetch_robots off."""
+
+from pyspark.sql import functions as F
+
+from loong_spark.canon_core import url_md5
+from loong_spark.compare import assert_matches_oracle, spark_crawl_order, spark_seen
+from loong_spark.config import CrawlConfig
+from loong_spark.gen import (
+    GraphParams,
+    build_graph,
+    sitemap_docs_of,
+    sitemap_url_of,
+)
+from loong_spark.oracle import Oracle, run_oracle
+from loong_spark.sitemap import (
+    is_sitemap_col,
+    parse_sitemap,
+    sitemap_lines_col,
+    sitemap_locs_col,
+)
+from loong_spark.sitemap_core import is_sitemap, sitemap_lines, sitemap_locs
+
+from tests.test_pipeline_e2e import make_pipeline, make_pipeline_html
+from tests.test_robots_crawl import _span, mk_custom_pipeline, mk_page
+
+SM_PARAMS = GraphParams(
+    n_hosts=6, n_pages=80, n_seeds=2, robots_pages=True, sitemap_pages=True
+)
+
+# -- parser battery (shared by pure fixtures + JVM parity) -------------------
+
+ROBOTS_TEXTS = [
+    # BOM + CRLF + trailing comment + key case/space soup + dup kept
+    "﻿# x\r\nUser-agent: *\r\nSitemap: http://a/S1.xml # c\r\n"
+    "sitemap :\thttp://a/S1.xml\r\nSITEMAP: http://a/s2.xml\r\n",
+    # inside a UA section (agent-INDEPENDENT: still extracted)
+    "User-agent: otherbot\nDisallow: /\nSitemap: http://b/only.xml\n",
+    # empty value + near-miss keys dropped
+    "Sitemap:\nSitemapx: http://no/1\nsite map: http://no/2\n",
+    # no sitemap lines at all
+    "User-agent: *\nDisallow: /x/\n",
+    "",
+]
+
+SITEMAP_XMLS = [
+    # entities in loc, whitespace/newline padding, attributes on urlset
+    '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/'
+    'schemas/sitemap/0.9">\n<url><loc>\n  http://a/p?x=1&amp;y=2  \n</loc>'
+    "<lastmod>2026-01-01</lastmod></url>\n"
+    "<url><loc>http://a/q&apos;s</loc><priority>0.8</priority></url></urlset>",
+    # sitemapindex children; empty loc dropped; &amp;lt; single-pass decode
+    "<sitemapindex><sitemap><loc>http://a/sm-0.xml</loc></sitemap>"
+    "<sitemap><loc>  </loc></sitemap>"
+    "<sitemap><loc>http://a/sm&amp;lt;1.xml</loc></sitemap></sitemapindex>",
+    # uppercase <LOC> NOT matched (XML is case-sensitive — pinned)
+    "<urlset><url><LOC>http://a/up</LOC></url>"
+    "<url><loc>http://a/low</loc></url></urlset>",
+    # not a sitemap at all
+    "<html><body><loc>http://a/fake</loc></body></html>",
+    "",
+]
+
+IS_SITEMAP_CASES = [
+    ("application/xml", "<urlset><url/></urlset>", True),
+    ("text/xml; charset=UTF-8", "<sitemapindex>", True),
+    ("application/xml", "  <?xml?> <urlset\n>", True),
+    ("text/html", "<urlset>", False),  # ct gate
+    ("application/xml", "<rss><channel/></rss>", False),  # root gate
+    ("application/rss+xml", "<urlset>", True),  # 'xml' substring suffices
+    (None, "<urlset>", False),
+    ("application/xml", None, False),
+]
+
+
+def test_sitemap_lines_pure_fixtures():
+    assert sitemap_lines(ROBOTS_TEXTS[0]) == [
+        "http://a/S1.xml", "http://a/S1.xml", "http://a/s2.xml",
+    ]
+    assert sitemap_lines(ROBOTS_TEXTS[1]) == ["http://b/only.xml"]
+    assert sitemap_lines(ROBOTS_TEXTS[2]) == []
+    assert sitemap_lines(ROBOTS_TEXTS[3]) == []
+    assert sitemap_lines(ROBOTS_TEXTS[4]) == []
+
+
+def test_sitemap_locs_pure_fixtures():
+    assert sitemap_locs(SITEMAP_XMLS[0]) == [
+        "http://a/p?x=1&y=2", "http://a/q's",
+    ]
+    assert sitemap_locs(SITEMAP_XMLS[1]) == [
+        "http://a/sm-0.xml", "http://a/sm&lt;1.xml",
+    ]
+    assert sitemap_locs(SITEMAP_XMLS[2]) == ["http://a/low"]
+    # the regex extracts <loc> anywhere; the CONTENT GATE is what keeps
+    # non-sitemap documents out of the pipeline branch
+    assert sitemap_locs(SITEMAP_XMLS[3]) == ["http://a/fake"]
+
+
+def test_is_sitemap_pure_fixtures():
+    for ct, body, want in IS_SITEMAP_CASES:
+        assert is_sitemap(ct, body) is want, (ct, body)
+
+
+def test_jvm_pure_parity(spark):
+    """sitemap.py column expressions ≡ sitemap_core on the whole
+    battery — one job for all three functions."""
+    rows = [(t, None, None) for t in ROBOTS_TEXTS]
+    rows += [(None, x, None) for x in SITEMAP_XMLS]
+    rows += [(None, body, ct) for ct, body, _ in IS_SITEMAP_CASES]
+    df = spark.createDataFrame(rows, "rob string, xml string, ct string")
+    got = df.select(
+        "rob", "xml", "ct",
+        sitemap_lines_col(F.col("rob")).alias("lines"),
+        sitemap_locs_col(F.col("xml")).alias("locs"),
+        is_sitemap_col(F.col("ct"), F.col("xml")).alias("gate"),
+    ).collect()
+    for r in got:
+        if r["rob"] is not None:
+            assert r["lines"] == sitemap_lines(r["rob"]), r["rob"]
+        if r["xml"] is not None:
+            assert r["locs"] == sitemap_locs(r["xml"]), r["xml"]
+        assert bool(r["gate"]) == is_sitemap(r["ct"], r["xml"]), (r["ct"], r["xml"])
+
+
+def test_parse_sitemap_rich_fields(spark):
+    df = spark.createDataFrame([("s1", SITEMAP_XMLS[0]), ("s2", SITEMAP_XMLS[1])],
+                               "sid string, xml string")
+    got = {
+        (r["sid"], r["entry_idx"]): r
+        for r in parse_sitemap(df, "xml", keep=("sid",)).collect()
+    }
+    r = got[("s1", 0)]
+    assert (r["kind"], r["loc"], r["lastmod"], r["priority"]) == (
+        "url", "http://a/p?x=1&y=2", "2026-01-01", None)
+    assert got[("s1", 1)]["priority"] == 0.8
+    # index: empty-loc block filtered, kinds tagged, doc order kept
+    assert [(k, v["loc"]) for (s, k), v in sorted(got.items()) if s == "s2"] == [
+        (0, "http://a/sm-0.xml"), (2, "http://a/sm&lt;1.xml")]
+    assert all(v["kind"] == "sitemap" for (s, _), v in got.items() if s == "s2")
+
+
+# -- Hypothesis property parity ----------------------------------------------
+
+def _hyp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    return given, settings, st
+
+
+_GIVEN, _SETTINGS, _ST = _hyp()
+
+#: directive soup: keys near-missing 'sitemap', comments, BOM, CRLF,
+#: colons in values; XML soup: nested-ish tags, entities, padding
+_ROB_CHARS = "Ssitemap:/# \t\r\nabc.xX-&?="
+_XML_CHARS = "<>/lociurstemapnd &;ampltgqu'\"\n\t 019.-"
+
+
+@_GIVEN(txts=_ST.lists(_ST.text(alphabet=_ROB_CHARS, max_size=80), min_size=1, max_size=8))
+@_SETTINGS(max_examples=12, deadline=None)
+def test_sitemap_lines_property_parity(spark, txts):
+    df = spark.createDataFrame([(t,) for t in txts], "rob string")
+    got = df.select("rob", sitemap_lines_col(F.col("rob")).alias("l")).collect()
+    for r in got:
+        assert r["l"] == sitemap_lines(r["rob"]), repr(r["rob"])
+
+
+@_GIVEN(xmls=_ST.lists(_ST.text(alphabet=_XML_CHARS, max_size=120), min_size=1, max_size=8))
+@_SETTINGS(max_examples=12, deadline=None)
+def test_sitemap_locs_property_parity(spark, xmls):
+    df = spark.createDataFrame([(x,) for x in xmls], "xml string")
+    got = df.select("xml", sitemap_locs_col(F.col("xml")).alias("l")).collect()
+    for r in got:
+        assert r["l"] == sitemap_locs(r["xml"]), repr(r["xml"])
+
+
+# -- e2e crawls vs the oracle -------------------------------------------------
+
+def test_fetch_sitemaps_full_crawl_matches_oracle(spark, warehouse):
+    """Gen fixture with robots-advertised sitemap trees (flat urlsets,
+    two-level indexes, cross-host and dangling locs): crawl order /
+    seen / docs / metrics match the oracle exactly, and sitemap-only
+    orphan pages really got crawled through the discovery path."""
+    cfg = CrawlConfig(
+        global_budget=20, fetch_robots=True, fetch_sitemaps=True,
+        use_bloom=True, n_shards=4,
+    )
+    golden = run_oracle(SM_PARAMS, cfg)
+    pipe = make_pipeline(spark, warehouse, SM_PARAMS, cfg, politeness=[])
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+
+    crawled = {u for _, _, u in spark_crawl_order(pipe)}
+    assert any("/sitemap" in u for u in crawled), "no sitemap was ever fetched"
+    # an orphan: listed in a sitemap, reachable ONLY through it
+    g = build_graph(SM_PARAMS)
+    linked = {l for pg in g.values() for l in pg["out_links"]}
+    sm_locs_all = {
+        loc
+        for k in range(SM_PARAMS.n_hosts)
+        for _, xml, _ in sitemap_docs_of(SM_PARAMS, k)
+        for loc in sitemap_locs(xml)
+    }
+    orphans = (sm_locs_all - linked) & set(g) & crawled
+    assert orphans, "no sitemap-only page was discovered — fixture too weak"
+
+
+def test_fetch_sitemaps_parse_mode_matches_oracle(spark, warehouse):
+    """Same contract through the production fetch→decode→parse path:
+    sitemap bodies arrive as raw XML BYTES."""
+    cfg = CrawlConfig(
+        global_budget=20, fetch_robots=True, fetch_sitemaps=True,
+        use_bloom=True, n_shards=4,
+    )
+    golden = run_oracle(SM_PARAMS, cfg)
+    pipe = make_pipeline_html(spark, warehouse, SM_PARAMS, cfg, politeness=[])
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+
+
+def _xml_page(url, xml, ct="application/xml"):
+    return mk_page(url, content_type=ct, spans=[_span(xml)])
+
+
+def test_cyclic_sitemap_index_terminates(spark, warehouse):
+    """A sitemapindex that lists ITSELF (and a child) cannot loop: the
+    second fetch of the index dedups away at the URL-seen filter. The
+    whole crawl still matches the oracle."""
+    a = "a.example"
+    seed = f"http://{a}/"
+    idx = sitemap_url_of(a)
+    child = sitemap_url_of(a, 0)
+    graph = {}
+    for page in [
+        mk_page(seed),
+        mk_page(
+            f"http://{a}/robots.txt", content_type="text/plain",
+            spans=[_span(f"User-agent: *\nCrawl-delay: 1\nSitemap: {idx}\n")],
+        ),
+        _xml_page(
+            idx,
+            "<sitemapindex>"
+            f"<sitemap><loc>{idx}</loc></sitemap>"      # the cycle
+            f"<sitemap><loc>{child}</loc></sitemap>"
+            "</sitemapindex>",
+        ),
+        _xml_page(
+            child, f"<urlset><url><loc>http://{a}/only</loc></url></urlset>"
+        ),
+        mk_page(f"http://{a}/only"),
+    ]:
+        graph[page["url"]] = page
+    cfg = CrawlConfig(
+        global_budget=10, fetch_robots=True, fetch_sitemaps=True,
+        use_bloom=True, n_shards=2, max_batches=50,
+    )
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [seed], cfg)
+    pipe.run()
+    golden = Oracle(graph, [seed], {}, cfg).run()
+    assert_matches_oracle(pipe, golden)
+    order = [u for _, _, u in spark_crawl_order(pipe)]
+    assert order.count(idx) == 1, "cyclic index fetched more than once"
+    assert f"http://{a}/only" in order
+
+
+def test_sitemap_seed_without_fetch_robots(spark, warehouse):
+    """fetch_sitemaps works standalone: seeding a crawl AT a sitemap URL
+    (an operator's common bootstrap move) walks its locs with
+    fetch_robots off."""
+    a = "a.example"
+    sm = sitemap_url_of(a)
+    graph = {}
+    for page in [
+        _xml_page(sm, f"<urlset><url><loc>http://{a}/p1</loc></url>"
+                      f"<url><loc>http://{a}/p2</loc></url></urlset>"),
+        mk_page(f"http://{a}/p1", links=[f"http://{a}/p3"]),
+        mk_page(f"http://{a}/p2"),
+        mk_page(f"http://{a}/p3"),
+    ]:
+        graph[page["url"]] = page
+    cfg = CrawlConfig(global_budget=10, fetch_sitemaps=True, use_bloom=True, n_shards=2)
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [sm], cfg)
+    pipe.run()
+    golden = Oracle(graph, [sm], {}, cfg).run()
+    assert_matches_oracle(pipe, golden)
+    assert url_md5(f"http://{a}/p3") in spark_seen(pipe)  # link walk continued
+
+
+def test_flag_off_ignores_sitemaps(spark, warehouse):
+    """With fetch_sitemaps off (the default), a fetched XML sitemap is
+    just a non-HTML 200 — no locs followed, both engine and oracle."""
+    a = "a.example"
+    sm = sitemap_url_of(a)
+    graph = {}
+    for page in [
+        mk_page(f"http://{a}/", links=[sm]),
+        _xml_page(sm, f"<urlset><url><loc>http://{a}/px</loc></url></urlset>"),
+        mk_page(f"http://{a}/px"),
+    ]:
+        graph[page["url"]] = page
+    cfg = CrawlConfig(global_budget=10, use_bloom=True, n_shards=2)
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [f"http://{a}/"], cfg)
+    pipe.run()
+    golden = Oracle(graph, [f"http://{a}/"], {}, cfg).run()
+    assert_matches_oracle(pipe, golden)
+    assert url_md5(f"http://{a}/px") not in spark_seen(pipe)
