@@ -88,6 +88,8 @@ def cmd_crawl(args) -> int:
     for flag in ("fetch_robots", "fetch_sitemaps", "log_requests", "download_media"):
         if getattr(args, flag):
             over[flag] = True
+    if getattr(args, "w_sitemap", None) is not None:
+        over["w_sitemap"] = args.w_sitemap
     # demo sitemaps are advertised via robots `Sitemap:` lines, so
     # discovery needs the robots fetch path on
     if args.demo and getattr(args, "fetch_sitemaps", False):
@@ -271,6 +273,12 @@ def main(argv: list[str] | None = None) -> int:
         "robots files and <loc> URLs of fetched sitemap XML join the "
         "link stream (implies --fetch-robots in demo mode, which is how "
         "the demo graph advertises its sitemaps)",
+    )
+    c.add_argument(
+        "--w-sitemap", type=float, default=None, metavar="W",
+        help="weight of a sitemap-declared <priority> in the scheduling "
+        "score (0 <= W < 1; use with --fetch-sitemaps) — higher declared "
+        "priorities schedule earlier",
     )
     c.add_argument(
         "--parse", action="store_true",

@@ -117,6 +117,16 @@ class CrawlConfig:
     #: ride the EXISTING canonicalize → dedup → robots → priority path:
     #: zero new shuffles or state tables, O(batch) extra work.
     fetch_sitemaps: bool = False
+    #: weight of a sitemap-declared <priority> in O7 scoring (requires
+    #: fetch_sitemaps): priority = w_depth*depth + w_host*log1p(prior)
+    #: - w_sitemap*coalesce(sm_prio, 0) — lower schedules first, so a
+    #: high sitemap priority jumps the queue. 0.0 (default) keeps the
+    #: score expression (and the locs-based extraction) bit-identical
+    #: to the boost-less path; >0 switches sitemap extraction to
+    #: per-entry blocks (sitemap.sitemap_entries_col) so each loc rides
+    #: with ITS declared priority. Links/seeds/robots rows carry NULL
+    #: (no boost). Mirrored exactly in the oracle.
+    w_sitemap: float = 0.0
 
     #: S6 raw-page cache (reference cache_resouce, /root/reference/
     #: lib/Loong/Crawler.pm:307-323 — per-md5(url) files on disk): when
@@ -200,6 +210,15 @@ class CrawlConfig:
                     f"proxy_pools[{h!r}] is an empty list — omit the key for "
                     "a direct connection, or list at least one endpoint"
                 )
+        # The sitemap boost subtracts at most w_sitemap (priorities clamp
+        # to the protocol's [0,1] in frontier.priority_col); keeping it
+        # < 1 guarantees every content score stays above the robots
+        # rows' pinned -1.0, preserving robots-fetch-first ordering.
+        if not (0.0 <= self.w_sitemap < 1.0):
+            raise ValueError(
+                f"w_sitemap must be in [0, 1) (got {self.w_sitemap!r}): the "
+                "boost may not push a score below the robots-row -1.0 floor"
+            )
 
     def to_dict(self) -> dict:
         """JSON-safe knob dump (persisted as <warehouse>/config.json at

@@ -31,14 +31,28 @@ def quantize_priority(x: Column) -> Column:
     return F.floor(x * F.lit(1e9)) / F.lit(1e9)
 
 
-def priority_col(depth: Column, prior_host_seen: Column, cfg: CrawlConfig) -> Column:
+def priority_col(
+    depth: Column,
+    prior_host_seen: Column,
+    cfg: CrawlConfig,
+    sm_prio: Column | None = None,
+) -> Column:
     """O7: priority = w_d*depth + w_h*log1p(host_seen_before); lower first.
     (The reference's ordering is emergent FIFO layering + per-host fairness,
-    SURVEY.md §2.6 O7; this makes it an explicit, incremental score.)"""
-    return quantize_priority(
-        F.lit(cfg.w_depth) * depth.cast("double")
-        + F.lit(cfg.w_host) * F.log1p(prior_host_seen.cast("double"))
+    SURVEY.md §2.6 O7; this makes it an explicit, incremental score.)
+
+    ``sm_prio`` (passed only when cfg.w_sitemap > 0): a sitemap-declared
+    <priority>, clamped to the protocol's [0,1] before the boost so a
+    hostile ``<priority>1e9</priority>`` can't sink a score below the
+    robots rows' -1.0 floor (config validates w_sitemap < 1 for the
+    same reason). NULL (links/seeds/retries/robots) boosts nothing."""
+    score = F.lit(cfg.w_depth) * depth.cast("double") + F.lit(cfg.w_host) * F.log1p(
+        prior_host_seen.cast("double")
     )
+    if sm_prio is not None:
+        clamped = F.least(F.greatest(F.coalesce(sm_prio, F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
+        score = score - F.lit(cfg.w_sitemap) * clamped
+    return quantize_priority(score)
 
 
 def eligible(

@@ -42,7 +42,7 @@ from .canon_core import canonicalize, robots_match, split_url, url_md5
 from .config import CrawlConfig, HostPolicy
 from .gen import GraphParams, build_graph, politeness_of, seeds_of
 from .robots_core import delay_from_robots, parse_robots_text
-from .sitemap_core import is_sitemap, sitemap_lines, sitemap_locs
+from .sitemap_core import is_sitemap, sitemap_entries, sitemap_lines, sitemap_locs
 
 
 @dataclass
@@ -110,7 +110,14 @@ class Oracle:
         self.queued.append(e)
         self.res.frontier_log.append(e)
 
-    def _enqueue(self, url: str, depth: int, parent: str | None, batch: int) -> None:
+    def _enqueue(
+        self,
+        url: str,
+        depth: int,
+        parent: str | None,
+        batch: int,
+        sm_prio: float | None = None,
+    ) -> None:
         _, host, path = split_url(url)
         if self.cfg.fetch_robots:
             # robots discovery fires on every enqueue ATTEMPT (even ones
@@ -130,9 +137,12 @@ class Oracle:
         self.host_seen_count[host] = prior + 1
         # quantized to 1e-9 to match frontier.quantize_priority exactly
         # (JVM/Python libm may differ in the last ulp of log1p)
-        prio = math.floor(
-            (self.cfg.w_depth * depth + self.cfg.w_host * math.log1p(prior)) * 1e9
-        ) / 1e9
+        score = self.cfg.w_depth * depth + self.cfg.w_host * math.log1p(prior)
+        if self.cfg.w_sitemap:
+            # sitemap-declared priority boost, clamped to the protocol's
+            # [0,1] like frontier.priority_col (robots -1.0 floor holds)
+            score -= self.cfg.w_sitemap * min(max(sm_prio or 0.0, 0.0), 1.0)
+        prio = math.floor(score * 1e9) / 1e9
         e = Entry(url, h, host, depth, prio, self.seq, parent, "queued", 0, batch)
         self.seq += 1
         self.queued.append(e)
@@ -241,11 +251,20 @@ class Oracle:
                 # children are just URLs (re-fetched + re-gated next
                 # round, cycles killed by the seen filter). No doc is
                 # written — sitemaps are frontier input, not content.
-                for loc in sitemap_locs(page["body_spans"][0]["text"]):
+                # With w_sitemap, per-block extraction carries each
+                # loc's declared <priority> into the score (pipeline's
+                # use_entries twin).
+                xml = page["body_spans"][0]["text"]
+                pairs = (
+                    sitemap_entries(xml)
+                    if self.cfg.w_sitemap
+                    else [(loc, None) for loc in sitemap_locs(xml)]
+                )
+                for loc, sp in pairs:
                     canon = canonicalize(e.url, loc)
                     if canon:
                         links += 1
-                        self._enqueue(canon, e.depth + 1, e.url, batch_id)
+                        self._enqueue(canon, e.depth + 1, e.url, batch_id, sm_prio=sp)
                 continue
             if not page["content_type"].startswith("text/html"):
                 continue  # F2 content gate: fetched, not parsed

@@ -43,7 +43,12 @@ from .cookies import prepare_http
 from .media import MEDIA_BLOB, fetch_media, media_manifest
 from .robots import parse_robots, politeness_from_robots
 from .rules import links_of, parse_pages_bytes, spans_of
-from .sitemap import is_sitemap_col, sitemap_lines_col, sitemap_locs_col
+from .sitemap import (
+    is_sitemap_col,
+    sitemap_entries_col,
+    sitemap_lines_col,
+    sitemap_locs_col,
+)
 from .store import SnapshotStore
 
 HOST_STATE = T.StructType(
@@ -91,6 +96,9 @@ _CAND = T.StructType(
         T.StructField("is_retry", T.BooleanType(), False),
         T.StructField("retry_priority", T.DoubleType(), True),
         T.StructField("attempt", T.IntegerType(), False),
+        # sitemap-declared <priority> for the cfg.w_sitemap boost;
+        # NULL for links/seeds/retries/robots rows (no boost)
+        T.StructField("sm_prio", T.DoubleType(), True),
     ]
 )
 
@@ -360,6 +368,7 @@ class CrawlPipeline:
             F.lit(False).alias("is_retry"),
             F.lit(None).cast("double").alias("retry_priority"),
             F.lit(0).alias("attempt"),
+            F.lit(None).cast("double").alias("sm_prio"),
         )
         empty_hs = self.spark.createDataFrame([], HOST_STATE)
         new_entries, new_seen, stats = self._admit(cand, empty_hs, batch_id=0)
@@ -438,6 +447,7 @@ class CrawlPipeline:
                     F.lit(False).alias("is_retry"),
                     F.lit(None).cast("double").alias("retry_priority"),
                     F.lit(0).alias("attempt"),
+                    F.lit(None).cast("double").alias("sm_prio"),
                     F.lit(True).alias("is_robots"),
                 )
             )
@@ -535,7 +545,10 @@ class CrawlPipeline:
                 # robots fetches jump every content URL: priority -1 < any
                 # w_d*depth + w_h*log1p(...) score (both weights ≥ 0)
                 F.when(F.col("is_robots"), F.lit(-1.0)).otherwise(
-                    priority_col(F.col("depth"), F.col("_prior"), self.cfg)
+                    priority_col(
+                        F.col("depth"), F.col("_prior"), self.cfg,
+                        F.col("sm_prio") if self.cfg.w_sitemap else None,
+                    )
                 ),
             )
             .drop("seen_count", "_prior", "_bh1", "_bh2", "shard_id")
@@ -920,6 +933,8 @@ class CrawlPipeline:
                 (F.col("depth") + 1).alias("depth"),
                 F.posexplode("out_links").alias("link_idx", "href"),
             )
+        # <a href> links carry no sitemap priority (cfg.w_sitemap boost)
+        raw_links = raw_links.withColumn("sm_prio", F.lit(None).cast("double"))
 
         # -- sitemaps-protocol discovery (cfg.fetch_sitemaps): fetched
         # urlset/sitemapindex XML emits its <loc> URLs, and (with
@@ -949,24 +964,50 @@ class CrawlPipeline:
                 if parse_mode
                 else F.try_element_at(F.col("body_spans"), F.lit(1))["text"]
             )
+            # w_sitemap boost: per-<url>-block extraction so each loc
+            # rides with ITS declared <priority> (identical loc sequence
+            # on well-formed files); boost off keeps the locs-only path
+            # bit-for-bit. Robots `Sitemap:` lines never carry one.
+            use_entries = cfg.w_sitemap > 0
+            nul = F.lit(None).cast("double")
+            xml_ext = (
+                sitemap_entries_col(body_txt)
+                if use_entries
+                else sitemap_locs_col(body_txt)
+            )
             sm = ok.filter(~is_robots_row).filter(
                 is_sitemap_col(F.col("content_type"), body_txt)
-            ).select("url", "rank", "depth", sitemap_locs_col(body_txt).alias("_locs"))
+            ).select("url", "rank", "depth", xml_ext.alias("_locs"))
             if cfg.fetch_robots:
+                lines = sitemap_lines_col(body_txt)
+                if use_entries:
+                    lines = F.transform(
+                        lines,
+                        lambda v: F.struct(v.alias("href"), nul.alias("sm_prio")),
+                    )
                 sm = sm.unionByName(
                     ok.filter(is_robots_row).select(
-                        "url", "rank", "depth",
-                        sitemap_lines_col(body_txt).alias("_locs"),
+                        "url", "rank", "depth", lines.alias("_locs")
                     )
                 )
-            raw_links = raw_links.unionByName(
-                sm.select(
-                    F.col("url").alias("parent"),
-                    F.col("rank").alias("parent_rank"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.posexplode("_locs").alias("link_idx", "href"),
+            exploded = sm.select(
+                F.col("url").alias("parent"),
+                F.col("rank").alias("parent_rank"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("_locs").alias("link_idx", "_e"),
+            )
+            exploded = (
+                exploded.select(
+                    "parent", "parent_rank", "depth", "link_idx",
+                    F.col("_e.href").alias("href"),
+                    F.col("_e.sm_prio").alias("sm_prio"),
+                )
+                if use_entries
+                else exploded.withColumnRenamed("_e", "href").withColumn(
+                    "sm_prio", nul
                 )
             )
+            raw_links = raw_links.unionByName(exploded)
 
         # -- docs (S5): idempotent by doc_id; append (doc_id unique by F1).
         # Written hash-partitioned on (host, salt): docs of one site
@@ -1019,6 +1060,7 @@ class CrawlPipeline:
                 F.lit(False).alias("is_retry"),
                 F.lit(None).cast("double").alias("retry_priority"),
                 F.lit(0).alias("attempt"),
+                "sm_prio",
             )
         )
         obs_links = Observation()
@@ -1038,6 +1080,7 @@ class CrawlPipeline:
             F.lit(True).alias("is_retry"),
             F.col("priority").alias("retry_priority"),
             (F.col("attempt") + 1).cast("int").alias("attempt"),
+            F.lit(None).cast("double").alias("sm_prio"),
         )
 
         # -- admit new frontier entries ------------------------------------

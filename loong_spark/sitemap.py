@@ -30,12 +30,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sitemap_core import _ENTITIES
+from .sitemap_core import _ENTITIES, PRIORITY_NUM_RE
 
 #: JVM regex twins of sitemap_core's patterns (Java and Python regex
-#: agree on every construct used: (?s)/(?i) flags, lazy .*?, \s)
+#: agree on every construct used: (?s)/(?i) flags, lazy .*?, \s, and
+#: explicit [0-9] classes — never \d, which is unicode-wide in Python
+#: but ASCII in Java)
 LOC_PATTERN = r"(?s)<loc\s*>(.*?)</loc\s*>"
 ROOT_PATTERN = r"<\s*(urlset|sitemapindex)[\s>]"
+BLOCK_PATTERN = r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"
+PRIO_PATTERN = r"(?s)<priority\s*>(.*?)</priority\s*>"
 
 
 def _wtrim(c: Column) -> Column:
@@ -78,6 +82,26 @@ def sitemap_locs_col(txt: Column) -> Column:
     raw = F.regexp_extract_all(txt, F.lit(LOC_PATTERN), F.lit(1))
     vals = F.transform(raw, lambda v: xml_unescape_col(_wtrim(v)))
     return F.filter(vals, lambda v: v != "")
+
+
+def sitemap_entries_col(txt: Column) -> Column:
+    """sitemap XML text → array<struct<href,sm_prio>> in document order
+    — the ``cfg.w_sitemap`` boost path's twin of
+    sitemap_core.sitemap_entries: per-``<url>``/``<sitemap>``-block
+    extraction so each loc stays associated with ITS ``<priority>``
+    sibling (a missing/non-decimal priority is NULL; PRIORITY_NUM_RE
+    pins the one numeric grammar both twins parse identically). Still
+    pure codegen regex/HOF work, zero shuffles."""
+    blocks = F.regexp_extract_all(txt, F.lit(BLOCK_PATTERN), F.lit(1))
+
+    def entry(b: Column) -> Column:
+        pv = _wtrim(F.regexp_extract(b, PRIO_PATTERN, 1))
+        return F.struct(
+            xml_unescape_col(_wtrim(F.regexp_extract(b, LOC_PATTERN, 1))).alias("href"),
+            F.when(pv.rlike(PRIORITY_NUM_RE), pv.cast("double")).alias("sm_prio"),
+        )
+
+    return F.filter(F.transform(blocks, entry), lambda e: e["href"] != F.lit(""))
 
 
 def is_sitemap_col(content_type: Column, txt: Column) -> Column:

@@ -50,6 +50,15 @@ _ENTITIES = (
 _LOC_RE = re.compile(r"(?s)<loc\s*>(.*?)</loc\s*>")
 _ROOT_RE = re.compile(r"<\s*(urlset|sitemapindex)[\s>]")
 _SITEMAP_LINE_RE = re.compile(r"(?i)^sitemap\s*:(.*)$")
+#: per-entry block + priority extraction (the cfg.w_sitemap boost path)
+_BLOCK_RE = re.compile(r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>")
+_PRIO_RE = re.compile(r"(?s)<priority\s*>(.*?)</priority\s*>")
+#: the subset of numeric literals BOTH twins parse identically — plain
+#: decimals with optional exponent, [0-9] spelled out (Python's \d is
+#: unicode-wide, Java's is ASCII); anything else (Infinity, NaN, hex,
+#: locale separators) is None/NULL on both sides by construction
+PRIORITY_NUM_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+_PRIORITY_NUM_RE = re.compile(PRIORITY_NUM_RE)
 
 
 def xml_unescape(s: str) -> str:
@@ -84,6 +93,35 @@ def sitemap_locs(xml: str) -> list[str]:
         v = m.strip(_WS)
         if v:
             out.append(xml_unescape(v))
+    return out
+
+
+def sitemap_entries(xml: str) -> list[tuple[str, float | None]]:
+    """(loc, priority|None) pairs in document order — the per-entry
+    extraction the ``cfg.w_sitemap`` scheduling boost needs (loc alone
+    can't be associated with its ``<priority>`` sibling).
+
+    Block-based (``<url>``/``<sitemap>`` elements) rather than bare
+    ``<loc>`` scanning, so on a degenerate file with locs OUTSIDE any
+    block this may see fewer URLs than sitemap_locs — on every
+    well-formed sitemap (the protocol requires locs inside blocks) the
+    loc sequences are identical. Priority parses only the shared
+    decimal subset (PRIORITY_NUM_RE); the protocol's values are 0.0-1.0
+    decimals, and restricting both twins to one grammar is what makes
+    JVM≡pure parity property-testable."""
+    out: list[tuple[str, float | None]] = []
+    for block in _BLOCK_RE.findall(xml):
+        m = _LOC_RE.search(block)
+        loc = xml_unescape(m.group(1).strip(_WS)) if m else ""
+        if not loc:
+            continue
+        pm = _PRIO_RE.search(block)
+        prio: float | None = None
+        if pm:
+            pv = pm.group(1).strip(_WS)
+            if _PRIORITY_NUM_RE.match(pv):
+                prio = float(pv)
+        out.append((loc, prio))
     return out
 
 

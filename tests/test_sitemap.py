@@ -308,3 +308,133 @@ def test_flag_off_ignores_sitemaps(spark, warehouse):
     golden = Oracle(graph, [f"http://{a}/"], {}, cfg).run()
     assert_matches_oracle(pipe, golden)
     assert url_md5(f"http://{a}/px") not in spark_seen(pipe)
+
+# -- w_sitemap: sitemap-declared <priority> as a scheduling boost -------------
+
+ENTRY_XMLS = SITEMAP_XMLS + [
+    # the shared numeric grammar (sitemap_core.PRIORITY_NUM_RE): plain
+    # decimals/exponents parse; words, Infinity, hex, padded forms obey
+    # the SAME rule on both twins
+    "<urlset>"
+    "<url><loc>http://a/1</loc><priority>high</priority></url>"
+    "<url><loc>http://a/2</loc><priority> .5 </priority></url>"
+    "<url><loc>http://a/3</loc><priority>1e-1</priority></url>"
+    "<url><loc>http://a/4</loc><priority>Infinity</priority></url>"
+    "<url><loc>http://a/5</loc><priority>0x1</priority></url>"
+    "<url><loc>http://a/6</loc><priority>+0.9</priority></url>"
+    "</urlset>",
+]
+
+
+def test_sitemap_entries_pure_fixtures():
+    from loong_spark.sitemap_core import sitemap_entries
+
+    assert sitemap_entries(SITEMAP_XMLS[0]) == [
+        ("http://a/p?x=1&y=2", None), ("http://a/q's", 0.8)]
+    assert sitemap_entries(SITEMAP_XMLS[1]) == [
+        ("http://a/sm-0.xml", None), ("http://a/sm&lt;1.xml", None)]
+    # block-based: a loc OUTSIDE any <url>/<sitemap> block is no entry
+    # (sitemap_locs sees it; on well-formed files the twins agree)
+    assert sitemap_entries(SITEMAP_XMLS[3]) == []
+    assert [p for _, p in sitemap_entries(ENTRY_XMLS[-1])] == [
+        None, 0.5, 0.1, None, None, 0.9]
+
+
+def test_sitemap_entries_jvm_parity(spark):
+    from loong_spark.sitemap import sitemap_entries_col
+    from loong_spark.sitemap_core import sitemap_entries
+
+    df = spark.createDataFrame([(x,) for x in ENTRY_XMLS], "xml string")
+    got = df.select("xml", sitemap_entries_col(F.col("xml")).alias("e")).collect()
+    for r in got:
+        jvm = [(e["href"], e["sm_prio"]) for e in r["e"]]
+        assert jvm == sitemap_entries(r["xml"]), repr(r["xml"])
+
+
+@_GIVEN(xmls=_ST.lists(
+    _ST.text(alphabet=_XML_CHARS + "yE+", max_size=150), min_size=1, max_size=8))
+@_SETTINGS(max_examples=12, deadline=None)
+def test_sitemap_entries_property_parity(spark, xmls):
+    from loong_spark.sitemap import sitemap_entries_col
+    from loong_spark.sitemap_core import sitemap_entries
+
+    df = spark.createDataFrame([(x,) for x in xmls], "xml string")
+    got = df.select("xml", sitemap_entries_col(F.col("xml")).alias("e")).collect()
+    for r in got:
+        jvm = [(e["href"], e["sm_prio"]) for e in r["e"]]
+        assert jvm == sitemap_entries(r["xml"]), repr(r["xml"])
+
+
+def test_w_sitemap_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="w_sitemap"):
+        CrawlConfig(w_sitemap=1.0)
+    with pytest.raises(ValueError, match="w_sitemap"):
+        CrawlConfig(w_sitemap=-0.1)
+    CrawlConfig(w_sitemap=0.99)  # the open upper bound is fine
+
+
+def test_w_sitemap_boost_crawl_matches_oracle(spark, warehouse):
+    """Full gen-fixture crawl with the boost on: engine ≡ oracle exactly,
+    AND the boost provably changed the schedule vs w_sitemap=0 (the gen
+    urlsets declare per-page priorities)."""
+    import dataclasses
+
+    cfg = CrawlConfig(
+        global_budget=20, fetch_robots=True, fetch_sitemaps=True,
+        use_bloom=True, n_shards=4, w_sitemap=0.5,
+    )
+    golden = run_oracle(SM_PARAMS, cfg)
+    base = run_oracle(SM_PARAMS, dataclasses.replace(cfg, w_sitemap=0.0))
+    assert golden.crawl_order != base.crawl_order, (
+        "boost changed nothing — fixture priorities too weak to reorder")
+    pipe = make_pipeline(spark, warehouse, SM_PARAMS, cfg, politeness=[])
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
+
+
+def test_w_sitemap_high_priority_scheduled_first(spark, warehouse):
+    """Deterministic ordering pin: same host, same depth, sitemap lists
+    low-prio /a BEFORE high-prio /b — the boost must schedule /b first
+    (without it, document order would win)."""
+    h = "a.example"
+    sm = sitemap_url_of(h)
+    graph = {}
+    for page in [
+        _xml_page(
+            sm,
+            "<urlset>"
+            f"<url><loc>http://{h}/a</loc><priority>0.1</priority></url>"
+            f"<url><loc>http://{h}/b</loc><priority>0.9</priority></url>"
+            "</urlset>",
+        ),
+        mk_page(f"http://{h}/a"),
+        mk_page(f"http://{h}/b"),
+    ]:
+        graph[page["url"]] = page
+    cfg = CrawlConfig(
+        global_budget=10, fetch_sitemaps=True, use_bloom=True,
+        n_shards=2, w_sitemap=0.5,
+    )
+    pipe = mk_custom_pipeline(spark, warehouse, graph, [sm], cfg)
+    pipe.run()
+    golden = Oracle(graph, [sm], {}, cfg).run()
+    assert_matches_oracle(pipe, golden)
+    order = [u for _, _, u in spark_crawl_order(pipe)]
+    assert order.index(f"http://{h}/b") < order.index(f"http://{h}/a")
+
+
+def test_w_sitemap_boost_parse_mode_matches_oracle(spark, warehouse):
+    """Boost through the production decode+parse path: sitemap bodies
+    arrive as raw XML BYTES and per-entry priorities still apply."""
+    import dataclasses as _dc
+
+    cfg = CrawlConfig(
+        global_budget=20, fetch_robots=True, fetch_sitemaps=True,
+        use_bloom=True, n_shards=4, w_sitemap=0.5,
+    )
+    golden = run_oracle(SM_PARAMS, cfg)
+    pipe = make_pipeline_html(spark, warehouse, SM_PARAMS, cfg, politeness=[])
+    pipe.run()
+    assert_matches_oracle(pipe, golden)
