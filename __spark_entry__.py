@@ -702,6 +702,74 @@ def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl selection (sitemap.recrawl_due): which
+    sitemap-listed URLs are due a re-fetch, from declared <lastmod>
+    (date precision) + <changefreq> intervals joined against fetch
+    history. Composes the real pipeline — synthesized urlset XML →
+    parse_sitemap → recrawl_due — while the oracle restates the
+    decision arithmetically (the fixed point: a parse or join defect
+    hash-mismatches). Per doc: entry /a carries lastmod 2026-(1..5)-dd
+    + priority (fetched iff doc_id%3≠0, 1h+(doc_id%60)d ago); entry /b
+    cycles all changefreq values incl 'never' and an unknown word, a
+    malformed lastmod every 5th doc (fetched iff doc_id%4≠0,
+    30min+(doc_id%10)h ago). 'now' is pinned to 2026-06-01 UTC —
+    deterministic, never wall-clock."""
+    import datetime as _dt
+
+    from loong_spark.sitemap import parse_sitemap, recrawl_due
+
+    now_epoch = (
+        _dt.date(2026, 6, 1).toordinal() - _dt.date(1970, 1, 1).toordinal()
+    ) * 86400
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    lastmod_a = F.format_string(
+        "2026-%02d-%02d",
+        F.pmod(F.col("doc_id"), F.lit(5)) + 1,
+        F.pmod(F.col("doc_id"), F.lit(28)) + 1,
+    )
+    freqs = F.array(
+        *[F.lit(x) for x in ("always", "hourly", "daily", "weekly",
+                             "monthly", "yearly", "never", "often")]
+    )
+    freq_b = F.element_at(freqs, (F.pmod(F.col("doc_id"), F.lit(8)) + 1).cast("int"))
+    lastmod_b = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("soon")).otherwise(
+        F.lit("")
+    )
+    prio_a = F.concat(F.lit("0."), (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://s"), sid, F.lit(".example/a</loc><lastmod>"),
+        lastmod_a, F.lit("</lastmod><priority>"), prio_a,
+        F.lit("</priority></url><url><loc>http://s"), sid,
+        F.lit(".example/b</loc><lastmod>"), lastmod_b,
+        F.lit("</lastmod><changefreq>"), freq_b,
+        F.lit("</changefreq></url></urlset>"),
+    )
+    entries = parse_sitemap(d.select("doc_id", xml.alias("xml"))).select(
+        "loc", "lastmod", "changefreq", "priority"
+    )
+    day, hour = F.lit(86400).cast("long"), F.lit(3600).cast("long")
+    st_a = d.select(
+        F.concat(F.lit("http://s"), sid, F.lit(".example/a")).alias("loc"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+            F.lit(now_epoch) - F.pmod(F.col("doc_id"), F.lit(60)).cast("long") * day
+            - hour,
+        ).alias("last_fetch_epoch"),
+    )
+    st_b = d.select(
+        F.concat(F.lit("http://s"), sid, F.lit(".example/b")).alias("loc"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) != 0,
+            F.lit(now_epoch) - F.pmod(F.col("doc_id"), F.lit(10)).cast("long") * hour
+            - F.lit(1800).cast("long"),
+        ).alias("last_fetch_epoch"),
+    )
+    state = st_a.unionByName(st_b).filter(F.col("last_fetch_epoch").isNotNull())
+    return recrawl_due(entries, state, now_epoch)
+
+
 def q_site_term_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 CN-label term map (sites.term_lookup_col, ref
     lib/Loong/Scraper/Hupu.pm:6-39): each doc carries one CN stat label
@@ -911,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_parse": q_sitemap_parse,
         "sitemap_discover": q_sitemap_discover,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "site_comic_decode": q_site_comic_decode,
         "site_js_unwrap": q_site_js_unwrap,
         "site_form_synth": q_site_form_synth,
@@ -1356,6 +1425,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'http://h' || CAST(doc_id AS VARCHAR) || '.example/sitemap.xml'
                    END AS sitemaps
             FROM documents""",
+        "sitemap_recrawl": """
+            WITH n AS (SELECT CAST(DATE '2026-06-01' - DATE '1970-01-01'
+                                   AS BIGINT) * 86400 AS now_e),
+            a AS (
+              SELECT 'http://s' || CAST(doc_id AS VARCHAR) || '.example/a' AS loc,
+                     CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE) AS priority,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN now_e - (doc_id % 60) * 86400 - 3600
+                     END AS last_fetch_epoch,
+                     CAST(TRY_CAST(printf('2026-%02d-%02d', doc_id % 5 + 1,
+                                          doc_id % 28 + 1) AS DATE)
+                          - DATE '1970-01-01' AS BIGINT) * 86400 AS lm_e,
+                     CAST(NULL AS BIGINT) AS iv
+              FROM documents, n
+            ),
+            b AS (
+              SELECT 'http://s' || CAST(doc_id AS VARCHAR) || '.example/b' AS loc,
+                     CAST(NULL AS DOUBLE) AS priority,
+                     CASE WHEN doc_id % 4 <> 0
+                          THEN now_e - (doc_id % 10) * 3600 - 1800
+                     END AS last_fetch_epoch,
+                     CAST(NULL AS BIGINT) AS lm_e,
+                     CASE doc_id % 8 WHEN 0 THEN 0 WHEN 1 THEN 3600
+                          WHEN 2 THEN 86400 WHEN 3 THEN 604800
+                          WHEN 4 THEN 2592000 WHEN 5 THEN 31536000
+                          ELSE NULL END AS iv
+              FROM documents, n
+            ),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+            r AS (
+              SELECT loc, priority, last_fetch_epoch,
+                     CASE WHEN last_fetch_epoch IS NULL THEN 'new'
+                          WHEN lm_e IS NOT NULL AND lm_e > last_fetch_epoch
+                               THEN 'modified'
+                          WHEN iv IS NOT NULL AND now_e - last_fetch_epoch >= iv
+                               THEN 'stale'
+                          ELSE 'fresh' END AS reason
+              FROM u, n
+            )
+            SELECT loc, priority, last_fetch_epoch, reason,
+                   reason <> 'fresh' AS due
+            FROM r""",
         # site_* oracles state the EXPECTED output directly (the Spark
         # side encodes then decodes / wraps then unwraps — the oracle is
         # the fixed point, so any transform defect hash-mismatches)

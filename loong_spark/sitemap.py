@@ -115,6 +115,92 @@ def is_sitemap_col(content_type: Column, txt: Column) -> Column:
     )
 
 
+#: sitemaps.org ``<changefreq>`` → re-fetch interval in seconds.
+#: ``always`` = re-fetch on every visit (interval 0); ``never`` and
+#: unknown/missing values carry NO interval (lastmod is then the only
+#: freshness signal, matching the protocol's "archived URLs" intent).
+CHANGEFREQ_SECONDS: tuple[tuple[str, int], ...] = (
+    ("always", 0),
+    ("hourly", 3_600),
+    ("daily", 86_400),
+    ("weekly", 604_800),
+    ("monthly", 2_592_000),
+    ("yearly", 31_536_000),
+)
+
+
+def lastmod_epoch_col(lastmod: Column) -> Column:
+    """``<lastmod>`` string → midnight-UTC epoch seconds at DATE
+    precision, or NULL. The protocol allows a date or a full W3C
+    datetime; freshness here is deliberately date-granular (the common
+    publisher practice), so only the leading ``YYYY-MM-DD`` is read —
+    a full datetime contributes its date part, anything else is NULL.
+    Timezone-independent by construction: the date string round-trips
+    through a calendar DATE and ``unix_date`` (days since epoch), so
+    the session/driver timezone can never shift the result — which is
+    what lets DuckDB restate it exactly
+    (``(TRY_CAST(.. AS DATE) - DATE '1970-01-01') * 86400``)."""
+    ds = F.regexp_extract(lastmod, r"^([0-9]{4}-[0-9]{2}-[0-9]{2})", 1)
+    d = F.try_to_timestamp(ds, F.lit("yyyy-MM-dd")).cast("date")
+    return F.unix_date(d).cast("long") * F.lit(86400).cast("long")
+
+
+def changefreq_interval_col(changefreq: Column) -> Column:
+    """``<changefreq>`` string → interval seconds per CHANGEFREQ_SECONDS
+    (case-insensitive, trimmed); ``never``/unknown/missing → NULL."""
+    c = F.lower(_wtrim(changefreq))
+    out: Column = F.lit(None).cast("long")
+    for name, secs in reversed(CHANGEFREQ_SECONDS):
+        out = F.when(c == name, F.lit(secs).cast("long")).otherwise(out)
+    return out
+
+
+def recrawl_due(entries: DataFrame, state: DataFrame, now_epoch: int) -> DataFrame:
+    """Freshness selection: which sitemap-listed URLs are due a
+    re-fetch? The incremental-recrawl primitive a production frontier
+    runs between full crawls (beyond-reference, like all of sitemap.py
+    — the reference re-crawls from scratch on a cron,
+    /root/reference/script/crawl.pl).
+
+    ``entries``: parsed urlset rows — (loc, lastmod, changefreq,
+    priority) as produced by parse_sitemap(kind='url').
+    ``state``: fetch history — (loc, last_fetch_epoch long).
+    ``now_epoch``: the decision instant (passed in, never wall-clock —
+    keeps runs reproducible).
+
+    One left equi-join on loc (AQE picks broadcast vs shuffle from
+    measured sizes — at 100 TB `state` is the big side and `entries`
+    one batch's sitemaps, so this is a per-batch-bounded probe, never a
+    full-history rewrite). Decision precedence, first match wins:
+
+    - never fetched            → due, reason 'new'
+    - lastmod date > fetch     → due, reason 'modified' (date
+      precision: a same-day edit after the fetch is picked up by the
+      NEXT day's run — documented, conservative-cheap)
+    - changefreq interval lapsed (now - fetch >= interval) → due,
+      reason 'stale' ('always' = interval 0 = every run; 'never' and
+      absent changefreq never go stale)
+    - else                     → not due, reason 'fresh'
+    """
+    j = entries.join(state.select("loc", "last_fetch_epoch"), "loc", "left")
+    lm = lastmod_epoch_col(F.col("lastmod"))
+    iv = changefreq_interval_col(F.col("changefreq"))
+    lf = F.col("last_fetch_epoch")
+    reason = (
+        F.when(lf.isNull(), F.lit("new"))
+        .when(lm.isNotNull() & (lm > lf), F.lit("modified"))
+        .when(iv.isNotNull() & (F.lit(int(now_epoch)) - lf >= iv), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "loc",
+        "priority",
+        "last_fetch_epoch",
+        reason.alias("reason"),
+        (reason != F.lit("fresh")).alias("due"),
+    )
+
+
 def parse_sitemap(
     df: DataFrame, xml_col: str = "xml", keep: tuple[str, ...] = ()
 ) -> DataFrame:

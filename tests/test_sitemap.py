@@ -438,3 +438,86 @@ def test_w_sitemap_boost_parse_mode_matches_oracle(spark, warehouse):
     pipe = make_pipeline_html(spark, warehouse, SM_PARAMS, cfg, politeness=[])
     pipe.run()
     assert_matches_oracle(pipe, golden)
+
+# -- recrawl_due: lastmod/changefreq freshness selection ----------------------
+
+
+def _day_epoch(y, m, d):
+    import datetime
+
+    return (
+        datetime.date(y, m, d).toordinal() - datetime.date(1970, 1, 1).toordinal()
+    ) * 86400
+
+
+def test_lastmod_and_changefreq_cols(spark):
+    from loong_spark.sitemap import changefreq_interval_col, lastmod_epoch_col
+
+    rows = [
+        ("1972-10-10", _day_epoch(1972, 10, 10)),
+        ("1972-10-10T09:30:00Z", _day_epoch(1972, 10, 10)),  # date part only
+        ("soon", None),
+        ("", None),
+        ("1972-99-99", None),  # regex matches, calendar parse fails -> NULL
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "lastmod string")
+    got = [r[0] for r in df.select(lastmod_epoch_col(F.col("lastmod"))).collect()]
+    assert got == [e for _, e in rows]
+    freqs = [
+        ("always", 0), ("HOURLY", 3600), (" daily ", 86400), ("weekly", 604800),
+        ("monthly", 2592000), ("yearly", 31536000), ("never", None),
+        ("often", None), ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in freqs], "cf string")
+    got = [r[0] for r in df.select(changefreq_interval_col(F.col("cf"))).collect()]
+    assert got == [e for _, e in freqs]
+
+
+def test_recrawl_due_decisions(spark):
+    """Every decision branch: new / modified (strictly-after at date
+    precision) / stale (incl 'always' = every run, 'never' = never) /
+    fresh, with a full-datetime lastmod and a malformed one."""
+    from loong_spark.sitemap import recrawl_due
+
+    now = _day_epoch(1972, 12, 1)
+    entries = [
+        # loc            lastmod                  changefreq  expectation
+        ("new",          "",                      "",       ("new", True)),
+        ("mod",          "1972-10-10",            "",       ("modified", True)),
+        ("mod_same_day", "1972-09-01",            "",       ("fresh", False)),
+        ("stale_daily",  "",                      "daily",  ("stale", True)),
+        ("always",       "",                      "always", ("stale", True)),
+        ("never",        "",                      "never",  ("fresh", False)),
+        ("unknown_cf",   "",                      "often",  ("fresh", False)),
+        ("fresh",        "1972-01-01",            "yearly", ("fresh", False)),
+        ("datetime",     "1972-10-10T09:30:00Z",  "",       ("modified", True)),
+        ("junk_lastmod", "soon",                  "",       ("fresh", False)),
+    ]
+    state = {
+        "mod": _day_epoch(1972, 10, 9) + 12 * 3600,
+        "mod_same_day": _day_epoch(1972, 9, 1) + 10 * 3600,  # fetched ON the lastmod day
+        "stale_daily": now - 2 * 86400,
+        "always": now,
+        "never": _day_epoch(1970, 1, 2),
+        "unknown_cf": _day_epoch(1970, 1, 2),
+        "fresh": now - 3600,
+        "datetime": _day_epoch(1972, 10, 9),
+        "junk_lastmod": now - 5 * 86400,
+    }
+    e_df = spark.createDataFrame(
+        [(f"http://x/{l}", lm, cf, 0.5) for l, lm, cf, _ in entries],
+        "loc string, lastmod string, changefreq string, priority double",
+    )
+    s_df = spark.createDataFrame(
+        [(f"http://x/{l}", e) for l, e in state.items()],
+        "loc string, last_fetch_epoch long",
+    )
+    got = {
+        r["loc"]: (r["reason"], r["due"], r["last_fetch_epoch"])
+        for r in recrawl_due(e_df, s_df, now).collect()
+    }
+    assert len(got) == len(entries)
+    for l, _, _, (reason, due) in entries:
+        key = f"http://x/{l}"
+        assert got[key][:2] == (reason, due), l
+        assert got[key][2] == state.get(key.rsplit("/", 1)[1]), l
