@@ -933,6 +933,83 @@ def q_mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("media_id", "out_w", "out_h")
 
 
+_WARC_DATE = "2026-01-01T00:00:00Z"
+
+
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fetched-page rows from the documents table — the
+    PAGES shape (url, status, content_type, body bytes) the WARC sink
+    consumes; everything downstream is pure arithmetic the oracle
+    restates."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("http://docs.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.encode(F.col("text"), "utf-8").alias("body"),
+    )
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.1 response-record serialization (warc.warc_records —
+    beyond-reference archive sink; the reference stores rows in
+    MySQL/Mongo, lib/Loong/Mango.pm, with no archival export): one
+    codegen projection builds the exact header string, HTTP block,
+    digests, and total record byte length. The oracle rebuilds the same
+    bytes with DuckDB string ops, so one byte of drift in the format
+    breaks the hash."""
+    from loong_spark.warc import warc_records
+
+    return warc_records(_warc_pages(spark, sf_dir), warc_date=_WARC_DATE).select(
+        "url", "urlkey", "record_id", "content_length", "record_length",
+        "block_digest", "payload_digest",
+    )
+
+
+def _warc_recs_with_files(spark: SparkSession, sf_dir: str):
+    from loong_spark.warc import assign_files, warc_records
+
+    recs = warc_records(_warc_pages(spark, sf_dir), warc_date=_WARC_DATE)
+    # oracle-reproducible file assignment: the doc id embedded in the url
+    fid = F.pmod(F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long"), F.lit(4))
+    return assign_files(recs, 4, file_id=fid)
+
+
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX byte-offset index over the assigned archives (warc.cdx_index):
+    per-file window sum of exact record lengths + the warcinfo base —
+    the offsets tests/test_warc.py seeks in real files. The oracle
+    replays the identical window arithmetic."""
+    from loong_spark.warc import cdx_index
+
+    return cdx_index(_warc_recs_with_files(spark, sf_dir), warc_date=_WARC_DATE)
+
+
+def q_warc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-archive manifest (file record count + total bytes incl. the
+    leading warcinfo record) — what write_warc_files returns from its
+    one-task-per-file writer, restated as the pure aggregation so the
+    oracle can check the byte math."""
+    from loong_spark.warc import warcinfo_bytes
+
+    base = len(warcinfo_bytes(_WARC_DATE))
+    return (
+        _warc_recs_with_files(spark, sf_dir)
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            (F.lit(base) + F.sum("record_length")).alias("n_bytes"),
+        )
+        .select(
+            F.concat(
+                F.lit("loong-"), F.lpad(F.col("file_id").cast("string"), 5, "0"), F.lit(".warc")
+            ).alias("filename"),
+            "n_records",
+            "n_bytes",
+        )
+    )
+
+
 # ============================================================ contract surface
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the frontier scheduling kernel at sf0.001."""
@@ -993,6 +1070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_manifest": q_media_manifest,
         "lite_scrape": q_lite_scrape,
         "media_fetch": q_media_fetch,
+        "warc_records": q_warc_records,
+        "warc_cdx": q_warc_cdx,
+        "warc_manifest": q_warc_manifest,
     }
 
 
@@ -1599,6 +1679,82 @@ def oracle_sql() -> dict[str, str]:
         # approximate ops); scripts/check_entry.py BOUND-checks both
         # against their exact twins, and pytest pins recall/error bounds.
     }
+    # WARC/1.1 record serialization restated byte-for-byte in DuckDB
+    # string ops: the oracle rebuilds the exact header text, HTTP block,
+    # sha256 digests, and record byte lengths, so any drift in the
+    # serialized format (one header, one CRLF, one length) breaks the
+    # value hash. CRLF is composed via chr() — no raw control chars in
+    # the SQL text. _warc_base = the serialized warcinfo leading-record
+    # size every CDX offset / manifest total is shifted by.
+    from loong_spark.warc import warcinfo_bytes as _wib
+
+    _warc_base = len(_wib(_WARC_DATE))
+    _crlf = "(chr(13) || chr(10))"
+    _warc_rec_cte = f"""
+    WITH pages AS (
+      SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             doc_id, text
+      FROM documents
+    ),
+    blocks AS (
+      SELECT url, doc_id,
+             'HTTP/1.1 200 OK' || {_crlf} ||
+             'Content-Type: text/html' || {_crlf} ||
+             'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+             {_crlf} || {_crlf} || text AS block,
+             sha256(text) AS payload_digest,
+             md5(url) AS m
+      FROM pages
+    ),
+    recs AS (
+      SELECT url, doc_id,
+             array_to_string(list_reverse(string_split(
+               lower(regexp_extract(url, '^[a-z]+://([^/]*)', 1)), '.')), ',')
+               || ')' ||
+               coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/]*(/.*)?$', 1), ''), '/')
+               AS urlkey,
+             substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-' || substr(m, 13, 4)
+               || '-' || substr(m, 17, 4) || '-' || substr(m, 21, 12) AS record_id,
+             octet_length(encode(block)) AS content_length,
+             sha256(block) AS block_digest,
+             payload_digest,
+             'WARC/1.1' || {_crlf} ||
+             'WARC-Type: response' || {_crlf} ||
+             'WARC-Record-ID: <urn:uuid:' || substr(m, 1, 8) || '-' || substr(m, 9, 4)
+               || '-' || substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-'
+               || substr(m, 21, 12) || '>' || {_crlf} ||
+             'WARC-Date: {_WARC_DATE}' || {_crlf} ||
+             'WARC-Target-URI: ' || url || {_crlf} ||
+             'Content-Type: application/http;msgtype=response' || {_crlf} ||
+             'WARC-Block-Digest: sha256:' || sha256(block) || {_crlf} ||
+             'WARC-Payload-Digest: sha256:' || payload_digest || {_crlf} ||
+             'Content-Length: ' || CAST(octet_length(encode(block)) AS VARCHAR) ||
+             {_crlf} || {_crlf} AS header
+      FROM blocks
+    ),
+    sized AS (
+      SELECT url, doc_id, urlkey, record_id, content_length, block_digest,
+             payload_digest,
+             octet_length(encode(header)) + content_length + 4 AS record_length,
+             doc_id % 4 AS file_id
+      FROM recs
+    )"""
+    sql["warc_records"] = f"""{_warc_rec_cte}
+    SELECT url, urlkey, record_id, content_length, record_length,
+           block_digest, payload_digest
+    FROM sized"""
+    sql["warc_cdx"] = f"""{_warc_rec_cte}
+    SELECT urlkey, '20260101000000' AS ts, url,
+           'loong-' || lpad(CAST(file_id AS VARCHAR), 5, '0') || '.warc' AS filename,
+           {_warc_base} + COALESCE(sum(record_length) OVER (
+             PARTITION BY file_id ORDER BY urlkey, url
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset",
+           record_length AS length, 200 AS status, block_digest AS digest
+    FROM sized"""
+    sql["warc_manifest"] = f"""{_warc_rec_cte}
+    SELECT 'loong-' || lpad(CAST(file_id AS VARCHAR), 5, '0') || '.warc' AS filename,
+           count(*) AS n_records, {_warc_base} + sum(record_length) AS n_bytes
+    FROM sized GROUP BY 1"""
     # dup clusters = transitive closure (recursive CTE) over the SAME
     # pair SQL the docs_minhash_lsh oracle uses — cluster_id is the min
     # reachable doc_id, exactly the fixpoint the Spark label propagation
