@@ -933,6 +933,19 @@ def q_mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("media_id", "out_w", "out_h")
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition filters (text.quality.
+    gopher_repetition, Rae et al. 2021 §A1.1): per-doc repeated-phrase
+    char-mass fractions (top 2/3/4-gram, duplicated 5-grams), mean word
+    length, duplicate-word fraction, and the keep/drop verdict — the
+    boilerplate/spam signal C4-ratio filters miss. One explode + one
+    map-side-combinable groupBy; the oracle replays the identical gram
+    arithmetic."""
+    from loong_spark.text.quality import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
 _WARC_DATE = "2026-01-01T00:00:00Z"
 
 
@@ -1073,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "warc_cdx": q_warc_cdx,
         "warc_manifest": q_warc_manifest,
+        "docs_repetition": q_docs_repetition,
     }
 
 
@@ -1755,6 +1769,57 @@ def oracle_sql() -> dict[str, str]:
     SELECT 'loong-' || lpad(CAST(file_id AS VARCHAR), 5, '0') || '.warc' AS filename,
            count(*) AS n_records, {_warc_base} + sum(record_length) AS n_bytes
     FROM sized GROUP BY 1"""
+    # Gopher repetition: identical gram construction (all sizes from one
+    # word array), counts, and char-mass arithmetic as the Spark op —
+    # top fracs only from grams occurring >1 time, dup-5 mass over all
+    # repeated 5-grams, keep compared on the ROUNDED fracs.
+    sql["docs_repetition"] = f"""
+    WITH words AS (
+      SELECT doc_id, {_NORM} AS norm, regexp_split_to_array({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, length(norm) AS n_chars,
+             CASE WHEN length(norm) > 0
+                  THEN round((length(norm) - (len(w) - 1)) / len(w), 6)
+                  ELSE 0.0 END AS mean_word_len,
+             round(1 - len(list_distinct(w)) / len(w), 6) AS frac_dup_words
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, n, array_to_string(w[gs:gs+n-1], ' ') AS g
+      FROM words,
+           unnest([2, 3, 4, 5]) AS tn(n),
+           unnest(generate_series(1, len(w) - n + 1)) AS t(gs)
+      WHERE len(w) >= n
+    ),
+    counts AS (
+      SELECT doc_id, n, count(*) AS cnt, count(*) * length(g) AS mass
+      FROM grams GROUP BY doc_id, n, g
+    ),
+    aggs AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 AND cnt > 1 THEN mass END) AS t2,
+             max(CASE WHEN n = 3 AND cnt > 1 THEN mass END) AS t3,
+             max(CASE WHEN n = 4 AND cnt > 1 THEN mass END) AS t4,
+             sum(CASE WHEN n = 5 AND cnt > 1 THEN mass END) AS d5
+      FROM counts GROUP BY doc_id
+    ),
+    fracs AS (
+      SELECT p.doc_id,
+             CASE WHEN n_chars > 0 THEN round(coalesce(t2, 0) / n_chars, 6) ELSE 0.0 END AS top2_frac,
+             CASE WHEN n_chars > 0 THEN round(coalesce(t3, 0) / n_chars, 6) ELSE 0.0 END AS top3_frac,
+             CASE WHEN n_chars > 0 THEN round(coalesce(t4, 0) / n_chars, 6) ELSE 0.0 END AS top4_frac,
+             CASE WHEN n_chars > 0 THEN round(coalesce(d5, 0) / n_chars, 6) ELSE 0.0 END AS dup5_frac,
+             mean_word_len, frac_dup_words
+      FROM per_doc p LEFT JOIN aggs a ON p.doc_id = a.doc_id
+    )
+    SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac,
+           mean_word_len, frac_dup_words,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND top2_frac <= 0.20 AND top3_frac <= 0.18
+                AND top4_frac <= 0.16 AND dup5_frac <= 0.15 AS INT) AS keep
+    FROM fracs"""
     # dup clusters = transitive closure (recursive CTE) over the SAME
     # pair SQL the docs_minhash_lsh oracle uses — cluster_id is the min
     # reachable doc_id, exactly the fixpoint the Spark label propagation

@@ -527,3 +527,68 @@ def test_ivf_tuning_sweep(spark):
     # cand/query from the list histogram must equal n_probe/n_list-ish
     # coverage: never more than the whole corpus
     assert all(r["candidates_per_query"] <= len(rows) for r in sweep)
+
+
+# ------------------------------------------------------- gopher repetition
+def _rep_ref(text, top_ns=(2, 3, 4), dup_ns=(5,)):
+    """Pure-Python reference of gopher_repetition for one doc."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    w = norm.split(" ")
+    n_chars = len(norm)
+    out = {"mean_word_len": round((n_chars - (len(w) - 1)) / len(w), 6) if n_chars else 0.0,
+           "frac_dup_words": round(1 - len(set(w)) / len(w), 6)}
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)] if len(w) >= n else []
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            if kind == "top":
+                mass = max((c * len(g) for g, c in cnt.items() if c > 1), default=0)
+            else:
+                mass = sum(c * len(g) for g, c in cnt.items() if c > 1)
+            out[f"{kind}{n}_frac"] = round(mass / n_chars, 6) if n_chars else 0.0
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    from loong_spark.text.quality import gopher_repetition
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        2: "spam spam spam spam spam spam",
+        3: "buy now buy now buy now buy now limited offer buy now buy now",
+        4: "one two three four five six seven eight nine ten",
+        5: "x",
+        6: "a a a a a b b b b b a a a a a b b b b b",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    for did, text in texts.items():
+        ref = _rep_ref(text)
+        for k, v in ref.items():
+            assert got[did][k] == v, f"doc {did} {k}: {got[did][k]} != {v}"
+    # the spam/boilerplate docs are dropped, normal prose survives
+    assert got[1]["keep"] == 1
+    assert got[4]["keep"] == 1
+    assert got[2]["keep"] == 0  # one phrase is the whole doc
+    assert got[3]["keep"] == 0  # repeated 2-gram over the limit
+    assert got[6]["keep"] == 0  # repeated 5-grams over the limit
+    assert got[5]["keep"] == 0  # mean word length below 3
+
+
+def test_gopher_repetition_empty_and_short(spark):
+    from loong_spark.text.quality import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ab cd")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    for did in (1, 2):  # empty docs: all fracs 0, dropped by word-length rule
+        assert got[did]["top2_frac"] == 0.0
+        assert got[did]["dup5_frac"] == 0.0
+        assert got[did]["keep"] == 0
+    assert got[3]["top2_frac"] == 0.0  # one UNREPEATED 2-gram never fires
+    assert got[3]["dup5_frac"] == 0.0
