@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -85,9 +86,15 @@ def cmd_crawl(args) -> int:
         over["global_budget"] = args.budget
     if args.max_batches is not None:
         over["max_batches"] = args.max_batches
-    for flag in ("fetch_robots", "fetch_sitemaps", "log_requests", "download_media"):
+    for flag, knob in (
+        ("fetch_robots", "fetch_robots"),
+        ("fetch_sitemaps", "fetch_sitemaps"),
+        ("log_requests", "log_requests"),
+        ("download_media", "download_media"),
+        ("cache_raw", "cache_raw_pages"),
+    ):
         if getattr(args, flag):
-            over[flag] = True
+            over[knob] = True
     if getattr(args, "w_sitemap", None) is not None:
         over["w_sitemap"] = args.w_sitemap
     # demo sitemaps are advertised via robots `Sitemap:` lines, so
@@ -231,6 +238,48 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """Archive-export surface: the warehouse's raw-page cache → WARC/1.1
+    files + CDX index + manifest (warc.py). Only the exact fetched bytes
+    are archivable, so this requires a parse-mode crawl run with
+    --cache-raw (the raw_pages table); a span-mode warehouse exits 2
+    with a clean message instead of fabricating payloads."""
+    from pyspark.sql import functions as F
+
+    from loong_spark.store import SnapshotStore
+    from loong_spark.warc import (
+        assign_files, cdx_index, warc_records, write_warc_files,
+    )
+
+    spark = _spark(args)
+    st = SnapshotStore(spark, args.warehouse)
+    if not st.exists("raw_pages"):
+        print(
+            f"no raw_pages table under {args.warehouse} — run a parse-mode "
+            "crawl with --cache-raw to keep archivable bytes",
+            file=sys.stderr,
+        )
+        return 2
+    pages = st.read("raw_pages").select(
+        "url",
+        F.lit(200).alias("status"),  # the cache stores 200 responses only
+        "content_type",
+        "body",
+    )
+    recs = assign_files(
+        warc_records(pages, warc_date=args.date), n_files=args.files
+    ).localCheckpoint()  # records price once; files + index must agree
+    manifest = write_warc_files(
+        recs, args.out, prefix=args.prefix, warc_date=args.date
+    ).collect()  # bounded: one row per archive file
+    cdx_index(recs, warc_date=args.date, prefix=args.prefix).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out, "cdx"))
+    for m in sorted(manifest, key=lambda m: m["filename"]):
+        print(json.dumps(m.asDict()))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="loong-spark")
     ap.add_argument("--cores", type=int, default=None, help="local[N] (default $SPARK_GRAFT_CPUS)")
@@ -284,6 +333,12 @@ def main(argv: list[str] | None = None) -> int:
         "--parse", action="store_true",
         help="demo graph carries raw HTML bytes → run the decode+parse path",
     )
+    c.add_argument(
+        "--cache-raw", action="store_true",
+        help="S6 raw-page cache: append each 200 response's exact bytes "
+        "to a `raw_pages` table (parse mode only) — the source the "
+        "`warc` export archives",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("resume", help="resume from checkpoint (no bootstrap)")
@@ -293,6 +348,14 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("bench", help="run the per-round benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    w = sub.add_parser("warc", help="export the raw-page cache as WARC/1.1 + CDX")
+    w.add_argument("--warehouse", required=True)
+    w.add_argument("--out", required=True, help="archive output directory")
+    w.add_argument("--files", type=int, default=4, help="archive file count (bounds writer-task memory)")
+    w.add_argument("--prefix", default="loong")
+    w.add_argument("--date", default="2026-01-01T00:00:00Z", help="WARC-Date capture timestamp")
+    w.set_defaults(fn=cmd_warc)
 
     s = sub.add_parser("stream", help="drain an events feed through the streaming ops")
     s.add_argument("--events", required=True, help="events parquet file or drop directory")

@@ -117,3 +117,45 @@ def test_deterministic_rerun(spark, tmp_path):
     ma = {r["filename"]: r["file_sha256"] for r in write_warc_files(recs, a, warc_date=DATE).collect()}
     mb = {r["filename"]: r["file_sha256"] for r in write_warc_files(recs, b, warc_date=DATE).collect()}
     assert ma == mb  # same input -> byte-identical archives
+
+
+def test_cli_warc_export(capsys, spark, tmp_path):
+    """Product surface: parse-mode crawl with --cache-raw, then `warc`
+    exports real archives whose CDX offsets seek to real records; a
+    warehouse without raw bytes exits 2 cleanly."""
+    import json
+
+    from loong_spark import cli
+
+    wh, out = str(tmp_path / "wh"), str(tmp_path / "arch")
+    assert cli.main([
+        "crawl", "--warehouse", wh, "--demo", "--parse", "--cache-raw",
+        "--demo-pages", "40", "--max-batches", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["warc", "--warehouse", wh, "--out", out, "--files", "2"]) == 0
+    manifest = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+    assert manifest and sum(m["n_records"] for m in manifest) > 0
+    for m in manifest:
+        raw = open(os.path.join(out, m["filename"]), "rb").read()
+        assert len(raw) == m["n_bytes"]
+        assert hashlib.sha256(raw).hexdigest() == m["file_sha256"]
+    cdx = spark.read.parquet(os.path.join(out, "cdx")).collect()
+    assert len(cdx) == sum(m["n_records"] for m in manifest)
+    for row in cdx:
+        with open(os.path.join(out, row["filename"]), "rb") as f:
+            f.seek(row["offset"])
+            rec = f.read(row["length"])
+        assert rec.startswith(b"WARC/1.1\r\n") and rec.endswith(b"\r\n\r\n")
+        assert f"WARC-Target-URI: {row['url']}\r\n".encode() in rec
+
+    # span-mode warehouse (no raw bytes kept) → clean exit 2
+    wh2 = str(tmp_path / "wh2")
+    assert cli.main([
+        "crawl", "--warehouse", wh2, "--demo", "--demo-pages", "20",
+        "--max-batches", "1",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["warc", "--warehouse", wh2, "--out", str(tmp_path / "x")]) == 2
+    assert "raw_pages" in capsys.readouterr().err
