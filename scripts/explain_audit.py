@@ -88,6 +88,25 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
     ),
+    # WARC record builder: ONE codegen projection riding the page scan
+    # — serializing 100 TB of pages must not shuffle or leave the JVM
+    "warc_records": (
+        [CODEGEN],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"],
+    ),
+    # CDX offsets: exactly the file_id exchange the writer needs (window
+    # over each file's record order); no Python, no join
+    "warc_cdx": (
+        ["Window", "Exchange"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # Gopher repetition: explode + map-side-combinable partial/final
+    # aggregates; the per-doc join-back stays a hash join, never a
+    # cartesian, and nothing leaves the JVM
+    "docs_repetition": (
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
