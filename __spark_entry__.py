@@ -946,6 +946,42 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(_t(spark, sf_dir, "documents"))
 
 
+def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain fairness cap (canon.registrable_domain_col
+    + the frontier.domain_capped window, cfg.domain_cap): hosts with
+    subdomains and multi-part public suffixes collapse to their eTLD+1
+    and each domain keeps its first 4 rows in the pinned order — the
+    stage that stops a subdomain flood from filling the batch budget.
+    The oracle recomputes the domain GENERICALLY (same suffix-set
+    arithmetic on the host string, not the synthesis shortcut), so a
+    suffix-handling bug breaks the hash."""
+    from loong_spark.canon import registrable_domain_col
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("com.au"), F.lit("net")),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    host = F.concat(
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(11)).cast("string"), F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.lit("site"), F.pmod(F.col("doc_id"), F.lit(17)).cast("string"),
+        F.lit("."), suffix,
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            host.alias("host"),
+            registrable_domain_col(host).alias("domain"),
+        )
+        .withColumn("rn_d", F.row_number().over(w))
+        .filter(F.col("rn_d") <= 4)
+    )
+
+
 _WARC_DATE = "2026-01-01T00:00:00Z"
 
 
@@ -1087,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "warc_manifest": q_warc_manifest,
         "docs_repetition": q_docs_repetition,
+        "url_domain_cap": q_url_domain_cap,
     }
 
 
@@ -1769,6 +1806,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT 'loong-' || lpad(CAST(file_id AS VARCHAR), 5, '0') || '.warc' AS filename,
            count(*) AS n_records, {_warc_base} + sum(record_length) AS n_bytes
     FROM sized GROUP BY 1"""
+    # registrable-domain fairness cap: the oracle recomputes eTLD+1
+    # generically from the host string with the SAME embedded suffix set
+    # (imported from the pure twin so the lists can't drift), then
+    # replays the per-domain window cap.
+    from loong_spark.canon_core import MULTI_PART_SUFFIXES as _MPS
+
+    _mps_sql = ", ".join(f"'{s}'" for s in sorted(_MPS))
+    sql["url_domain_cap"] = f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0
+                   THEN 's' || CAST(doc_id % 11 AS VARCHAR) || '.' ELSE '' END)
+             || 'site' || CAST(doc_id % 17 AS VARCHAR) || '.'
+             || (['com', 'org', 'co.uk', 'com.au', 'net'])[CAST(doc_id % 5 AS INT) + 1]
+               AS host
+      FROM documents
+    ),
+    doms AS (
+      SELECT doc_id, host,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  WHEN array_to_string(string_split(host, '.')[-2:], '.') IN ({_mps_sql})
+                       THEN array_to_string(string_split(host, '.')[-3:], '.')
+                  ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      FROM hosts
+    ),
+    ranked AS (
+      SELECT doc_id, host, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn_d
+      FROM doms
+    )
+    SELECT doc_id, host, domain, rn_d FROM ranked WHERE rn_d <= 4"""
     # Gopher repetition: identical gram construction (all sizes from one
     # word array), counts, and char-mass arithmetic as the Spark op —
     # top fracs only from grams occurring >1 time, dup-5 mass over all

@@ -159,6 +159,28 @@ def path_col(url: Column) -> Column:
     )
 
 
+def registrable_domain_col(host: Column) -> Column:
+    """eTLD+1 of a host column, pure JVM split/element_at arithmetic
+    with the embedded multi-part-suffix set as a codegen In-set — the
+    per-domain fairness key (frontier.domain_capped). Twin of
+    canon_core.registrable_domain (parity pytest-enforced)."""
+    from loong_spark.canon_core import MULTI_PART_SUFFIXES
+
+    h = F.substring_index(host, ":", 1)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(is_ip | (n <= 2), h)
+        .when(last2.isin(*sorted(MULTI_PART_SUFFIXES)), last3)
+        .otherwise(last2)
+    )
+
+
 def url_hash_col(url: Column) -> Column:
     """md5 hex (P3) — JVM built-in, matches canon_core.url_md5."""
     return F.md5(F.encode(url, "utf-8"))

@@ -65,6 +65,47 @@ def trim_domain(host: str) -> str:
     return host[4:] if host.startswith("www.") else host
 
 
+#: multi-part public suffixes (embedded subset of the public-suffix
+#: list covering the common ccTLD second-level registries; production
+#: swaps in the full PSL as a data file without changing the logic)
+MULTI_PART_SUFFIXES = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "re.kr", "go.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.ar", "net.ar", "org.ar", "com.tr", "net.tr", "org.tr",
+    "co.za", "net.za", "org.za", "web.za", "ac.za", "gov.za",
+})
+
+_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+def registrable_domain(host: str) -> str:
+    """eTLD+1 of a host (port stripped): the crawl-fairness grouping key
+    — per-HOST caps can't stop a subdomain flood (10^6 ``*.blogspot.
+    com`` hosts each get their own cap), per-registrable-DOMAIN caps
+    can. 'a.b.example.co.uk' → 'example.co.uk'; IPv4 literals and bare
+    one/two-label hosts are their own domain. The pure twin of
+    canon.registrable_domain_col (parity pytest-enforced)."""
+    h = host.split(":", 1)[0]
+    if _IPV4_RE.fullmatch(h):
+        return h
+    parts = h.split(".")
+    if len(parts) <= 2:
+        return h
+    if ".".join(parts[-2:]) in MULTI_PART_SUFFIXES:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
 def _collapse_segments(path: str) -> str:
     """Collapse ``.``/``..`` segments of an absolute path ('/a/./b/../c')."""
     out: list[str] = []

@@ -97,6 +97,8 @@ def cmd_crawl(args) -> int:
             over[knob] = True
     if getattr(args, "w_sitemap", None) is not None:
         over["w_sitemap"] = args.w_sitemap
+    if getattr(args, "domain_cap", None) is not None:
+        over["domain_cap"] = args.domain_cap
     # demo sitemaps are advertised via robots `Sitemap:` lines, so
     # discovery needs the robots fetch path on
     if args.demo and getattr(args, "fetch_sitemaps", False):
@@ -332,6 +334,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--parse", action="store_true",
         help="demo graph carries raw HTML bytes → run the decode+parse path",
+    )
+    c.add_argument(
+        "--domain-cap", type=int, default=None, metavar="N",
+        help="crawl-fairness cap: at most N scheduled URLs per "
+        "registrable domain (eTLD+1) per batch — bounds subdomain "
+        "floods that per-host caps can't",
     )
     c.add_argument(
         "--cache-raw", action="store_true",

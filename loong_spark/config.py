@@ -82,6 +82,14 @@ class CrawlConfig:
     #: over ~[0, w_depth*max_depth + w_host*log1p(host_seen)]). Smaller
     #: width = tighter survivor sets, more (tiny) histogram rows.
     cap_prefilter_width: float = 0.01
+    #: crawl-fairness cap per REGISTRABLE DOMAIN (eTLD+1) per batch,
+    #: applied between the per-host caps and the global budget: per-host
+    #: caps alone can't stop a subdomain flood (10^6 *.blogspot.com
+    #: hosts each get their own max_active), a domain cap can. None =
+    #: off (the default scheduling semantics are unchanged); when set,
+    #: one more narrow-key window keyed on canon.registrable_domain_col
+    #: — same pinned total order, deterministic across parallelism.
+    domain_cap: int | None = None
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
     #: size-aware join strategy for per-batch state tables (host_state

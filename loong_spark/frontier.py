@@ -165,6 +165,8 @@ def schedule(
     host above the limit — the keys shuffle by host for the per-host
     window anyway."""
     keys = capped_keys(elig, politeness, cfg, broadcast_pol)
+    if cfg.domain_cap is not None:
+        keys = domain_capped(keys, cfg.domain_cap)
     # global budget (O3) + deterministic rank, bounded one-task selection
     winners = global_topk(keys.select(*ORDER_COLS), cfg.global_budget)
     return elig.join(F.broadcast(winners.select("seq", "rank")), "seq")
@@ -225,6 +227,35 @@ def capped_keys(
     # phase 2: exact per-host top-k over ≤ n_salts*cap survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
     return keys.withColumn("rn2", F.row_number().over(w2)).filter(cap_ok("rn2"))
+
+
+def domain_capped(keys: DataFrame, cap: int) -> DataFrame:
+    """Crawl-fairness stage (cfg.domain_cap) between the per-host caps
+    and the global budget: at most ``cap`` rows per REGISTRABLE DOMAIN
+    (eTLD+1, canon.registrable_domain_col) per batch, picked in the same
+    pinned total order. Per-host caps can't bound a subdomain flood —
+    10^6 ``*.blogspot.com`` hosts each get their own per-host cap and
+    can fill the whole global budget; this window can.
+
+    Scale shape: input is already ≤ hosts × per-host-cap narrow key
+    rows; one more narrow-key exchange on the domain. A domain here is
+    hot by construction (that's what the cap is for), so the window
+    reuses the same two-phase trick as the host cap: partial top-cap
+    per (domain, salt) — the salt already on the rows — then exact."""
+    if cap <= 0:
+        raise ValueError(f"domain_cap must be > 0, got {cap}")
+    from loong_spark.canon import registrable_domain_col
+
+    keys = keys.withColumn("_dom", registrable_domain_col(F.col("host")))
+    w1 = Window.partitionBy("_dom", "salt").orderBy(*ORDER_COLS)
+    w2 = Window.partitionBy("_dom").orderBy(*ORDER_COLS)
+    return (
+        keys.withColumn("rn_d1", F.row_number().over(w1))
+        .filter(F.col("rn_d1") <= cap)
+        .withColumn("rn_d2", F.row_number().over(w2))
+        .filter(F.col("rn_d2") <= cap)
+        .drop("_dom", "rn_d1", "rn_d2")
+    )
 
 
 def prefiltered_keys(keys: DataFrame, cfg: CrawlConfig, broadcast_cuts: bool) -> DataFrame:

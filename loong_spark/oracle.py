@@ -38,7 +38,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .canon_core import canonicalize, robots_match, split_url, url_md5
+from .canon_core import canonicalize, registrable_domain, robots_match, split_url, url_md5
 from .config import CrawlConfig, HostPolicy
 from .gen import GraphParams, build_graph, politeness_of, seeds_of
 from .robots_core import delay_from_robots, parse_robots_text
@@ -188,6 +188,7 @@ class Oracle:
         ]
         eligible.sort(key=lambda e: (e.priority, e.depth, e.seq))
         taken_per_host: dict[str, int] = {}
+        taken_per_domain: dict[str, int] = {}
         scheduled: list[Entry] = []
         for e in eligible:
             if len(scheduled) >= self.cfg.global_budget:
@@ -197,6 +198,15 @@ class Oracle:
             )
             if taken_per_host.get(e.host, 0) >= cap:
                 continue
+            if self.cfg.domain_cap is not None:
+                # per-registrable-domain fairness cap: greedy counting is
+                # equivalent to the engine's stacked windows because a
+                # host maps to exactly ONE domain — once a domain fills,
+                # every later row of its hosts is dropped in both forms
+                dom = registrable_domain(e.host)
+                if taken_per_domain.get(dom, 0) >= self.cfg.domain_cap:
+                    continue
+                taken_per_domain[dom] = taken_per_domain.get(dom, 0) + 1
             taken_per_host[e.host] = taken_per_host.get(e.host, 0) + 1
             scheduled.append(e)
 

@@ -116,3 +116,30 @@ def test_canonicalize_df_parity(spark):
     assert len(got) == len(set(rows))
     for base, href in set(rows):
         assert got[(base, href)] == canonicalize(base, href), (base, href)
+
+
+def test_registrable_domain_parity(spark):
+    """JVM expression == pure twin on handpicked + generated hosts."""
+    from loong_spark.canon import registrable_domain_col
+    from loong_spark.canon_core import MULTI_PART_SUFFIXES, registrable_domain
+
+    hand = [
+        "example.com", "a.example.com", "a.b.example.com",
+        "example.co.uk", "www.example.co.uk", "deep.www.example.co.uk",
+        "flood.com.au", "s1.flood.com.au",
+        "localhost", "com", "co.uk",          # bare labels / bare suffix
+        "192.168.0.1", "10.0.0.1:8080",       # IPv4, with port
+        "example.com:443", "a.example.co.jp:80",
+    ]
+    gen = [f"h{i}.d{i % 7}.{suf}" for i, suf in
+           enumerate(sorted(MULTI_PART_SUFFIXES))]
+    hosts = hand + gen
+    # pure expectations first (documents the semantics)
+    assert registrable_domain("a.b.example.co.uk") == "example.co.uk"
+    assert registrable_domain("a.b.example.com") == "example.com"
+    assert registrable_domain("10.0.0.1:8080") == "10.0.0.1"
+    assert registrable_domain("localhost") == "localhost"
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = dict(df.select("host", registrable_domain_col(F.col("host")).alias("d")).collect())
+    for h in hosts:
+        assert got[h] == registrable_domain(h), h

@@ -208,3 +208,24 @@ def test_seen_shards_delta_write_volume(spark, warehouse):
     shards = st.read("seen_shards").collect()
     ids = [r["shard_id"] for r in shards]
     assert len(ids) == len(set(ids))
+
+
+def test_domain_cap_crawl_matches_oracle(spark, warehouse):
+    """cfg.domain_cap on: the per-registrable-domain fairness window
+    (frontier.domain_capped) and the oracle's greedy domain counter
+    produce the identical crawl — order, seen set, docs, metrics."""
+    cfg = CrawlConfig(global_budget=20, domain_cap=2)
+    golden = run_oracle(TINY, cfg)
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    metrics = pipe.run()
+    assert len(metrics) == len(golden.metrics)
+    assert_matches_oracle(pipe, golden)
+    # the cap bit: no batch schedules more than 2 URLs of one eTLD+1
+    from loong_spark.canon_core import extract_host, registrable_domain
+
+    per_batch_dom: dict = {}
+    for batch_id, rank, url in golden.crawl_order:
+        d = registrable_domain(extract_host(url))
+        key = (batch_id, d)
+        per_batch_dom[key] = per_batch_dom.get(key, 0) + 1
+    assert max(per_batch_dom.values()) <= 2

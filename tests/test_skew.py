@@ -157,3 +157,67 @@ def test_cap_prefilter_negative_and_fractional_priorities(spark):
     # host a's winners are the robots row (-1.0) then -0.005; host b keeps both
     picked = {r["seq"] for r in r_on}
     assert picked == {14, 15, 20, 21}
+
+
+# ------------------------------------------------------ domain fairness cap
+@pytest.fixture(scope="module")
+def subdomain_flood(spark):
+    """10k rows across 200 subdomains of ONE registrable domain plus 40
+    hosts on distinct domains — per-host caps alone would let the flood
+    fill any budget."""
+    flood_host = F.concat(
+        F.lit("s"), F.pmod(F.col("id"), 200).cast("string"), F.lit(".flood.co.uk")
+    )
+    # derive from id//10 so all 40 cold-domain hosts are populated
+    other_host = F.concat(
+        F.lit("site"), F.pmod(F.floor(F.col("id") / 10), F.lit(40)).cast("string"),
+        F.lit(".example")
+    )
+    host = F.when(F.pmod(F.col("id"), 10) < 9, flood_host).otherwise(other_host)
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), F.col("id").cast("string"))
+    return spark.range(10_000).select(
+        url.alias("url"),
+        F.md5(url).alias("url_hash"),
+        host.alias("host"),
+        F.pmod(F.col("id"), 6).cast("int").alias("depth"),
+        (F.pmod(F.col("id"), 6) * 1000).cast("double").alias("priority"),
+        F.col("id").alias("seq"),
+        F.lit(None).cast("string").alias("parent"),
+        F.lit("queued").alias("state"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).cast("long").alias("enqueued_batch"),
+    ).cache()
+
+
+def test_domain_cap_bounds_subdomain_flood(spark, subdomain_flood):
+    from loong_spark.canon_core import registrable_domain
+
+    politeness = spark.createDataFrame([], "host string, max_active int")
+    cfg = CrawlConfig(global_budget=300, default_max_active=8, domain_cap=30)
+    rows = schedule(subdomain_flood, politeness, cfg).select("host", "seq", "rank").collect()
+    by_dom = {}
+    for r in rows:
+        d = registrable_domain(r["host"])
+        by_dom[d] = by_dom.get(d, 0) + 1
+    assert by_dom["flood.co.uk"] == 30  # 200 hosts x cap 8 = 1600 candidates, capped
+    # budget still fills from the 40 fair domains (supply 40x8 + 30 > 300)
+    assert sum(by_dom.values()) == 300
+    assert all(v <= 30 for v in by_dom.values())
+
+
+def test_domain_cap_off_is_unchanged(spark, subdomain_flood):
+    politeness = spark.createDataFrame([], "host string, max_active int")
+    base = CrawlConfig(global_budget=300, default_max_active=8)
+    rows = schedule(subdomain_flood, politeness, base).select("seq", "rank").collect()
+    assert len(rows) == 300
+
+
+def test_domain_cap_deterministic_across_salts(spark, subdomain_flood):
+    politeness = spark.createDataFrame([], "host string, max_active int")
+    got = []
+    for n_salts in (1, 8):
+        cfg = CrawlConfig(global_budget=400, default_max_active=8,
+                          domain_cap=25, n_salts=n_salts)
+        rows = schedule(subdomain_flood, politeness, cfg).select("seq", "rank").collect()
+        got.append(sorted((r["seq"], r["rank"]) for r in rows))
+    assert got[0] == got[1]
