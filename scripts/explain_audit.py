@@ -100,6 +100,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "Exchange"],
         ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
     ),
+    # domain fairness cap: eTLD+1 extraction is pure split arithmetic
+    # riding the scan (codegen In-set for the suffix list); the only
+    # exchange is the domain window's — no Python, no join
+    "url_domain_cap": (
+        ["Window"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin"],
+    ),
     # Gopher repetition: explode + map-side-combinable partial/final
     # aggregates; the per-doc join-back stays a hash join, never a
     # cartesian, and nothing leaves the JVM
