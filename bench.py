@@ -236,6 +236,8 @@ def main():
         "emb_cosine_topk", "emb_ann_topk", "emb_ivf_topk",
         "parse_spans", "etl_export", "site_comic_decode",
         "media_manifest", "robots_parse", "lite_scrape",
+        "warc_records", "warc_cdx", "docs_repetition", "url_domain_cap",
+        "sitemap_parse", "sitemap_recrawl",
     ]
     qs = entry.queries()
     raw_entries: dict[str, list[float]] = {}
