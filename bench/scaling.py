@@ -254,11 +254,16 @@ def evidence_block(latest_eff: float) -> str:
         "recorded 1.027. Per-round throughput snapshots live in BENCH_r*.json",
         "(bench.py; 2026-08-19 idle-box sample: 2,999,744 URLs/s at local[32],",
         "with the artifact's own prefilter A/B at 1.24× on 32 cores). Two",
-        "consecutive bench.py runs on the FINAL round-5 tree (2026-08-19",
-        "~13:00 UTC, idle box) measured 1,979,095 and 2,822,249 URLs/s — a",
-        "1.43× spread from the documented ±2× weather waves; the raw",
-        "per-cycle times now recorded in each artifact's `extra` are what",
-        "let a reader tell that spread from a code regression.",
+        "consecutive bench.py runs on the 2026-08-19 ~13:00 UTC tree (idle",
+        "box) measured 1,979,095 and 2,822,249 URLs/s — a 1.43× spread from",
+        "the documented ±2× weather waves; the FINAL round-5 tree (after the",
+        "WARC sink, Gopher repetition, and domain-cap additions, none of",
+        "which touch the scheduling kernel — domain_cap=None in the bench)",
+        "measured 1,328,234 URLs/s on 2026-08-21, inside the same band, with",
+        "its three raw cycles (90.3 → 31.0 → 22.6 s: JIT warm-up then a",
+        "noise wave settling) recorded in the artifact's `extra.raw` — the",
+        "raw per-cycle times are what let a reader tell spread from a code",
+        "regression.",
         "",
         "A single-tenant box cannot out-scale its hour's hardware bracket:",
         "rows whose same-session pure-CPU bracket sits below 0.8 are hours",
