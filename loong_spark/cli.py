@@ -271,12 +271,33 @@ def cmd_warc(args) -> int:
     recs = assign_files(
         warc_records(pages, warc_date=args.date), n_files=args.files
     ).localCheckpoint()  # records price once; files + index must agree
-    manifest = write_warc_files(
-        recs, args.out, prefix=args.prefix, warc_date=args.date
-    ).collect()  # bounded: one row per archive file
-    cdx_index(recs, warc_date=args.date, prefix=args.prefix).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(args.out, "cdx"))
+    if args.gzip:
+        # member-per-record .warc.gz: offsets exist only after
+        # compression, so the writer itself returns the CDX rows and
+        # the manifest aggregates them
+        from loong_spark.warc import write_warc_gz_files
+
+        gz_cdx = write_warc_gz_files(
+            recs, args.out, prefix=args.prefix, warc_date=args.date
+        ).localCheckpoint()
+        gz_cdx.drop("file_id", "file_sha256").write.mode("overwrite").parquet(
+            os.path.join(args.out, "cdx")
+        )
+        manifest = (
+            gz_cdx.groupBy("filename", "file_sha256")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.max(F.col("offset") + F.col("length")).alias("n_bytes"),
+            )
+            .collect()
+        )
+    else:
+        manifest = write_warc_files(
+            recs, args.out, prefix=args.prefix, warc_date=args.date
+        ).collect()  # bounded: one row per archive file
+        cdx_index(recs, warc_date=args.date, prefix=args.prefix).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out, "cdx"))
     for m in sorted(manifest, key=lambda m: m["filename"]):
         print(json.dumps(m.asDict()))
     return 0
@@ -363,6 +384,11 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--files", type=int, default=4, help="archive file count (bounds writer-task memory)")
     w.add_argument("--prefix", default="loong")
     w.add_argument("--date", default="2026-01-01T00:00:00Z", help="WARC-Date capture timestamp")
+    w.add_argument(
+        "--gzip", action="store_true",
+        help="member-per-record .warc.gz (Common Crawl layout): CDX "
+        "offsets point at gzip members, one seek+inflate per record",
+    )
     w.set_defaults(fn=cmd_warc)
 
     s = sub.add_parser("stream", help="drain an events feed through the streaming ops")

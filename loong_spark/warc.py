@@ -291,3 +291,93 @@ def write_warc_files(
     return records.select(
         "file_id", "urlkey", "url", "header", "block"
     ).groupBy("file_id").applyInPandas(write_one, schema=MANIFEST)
+
+
+GZ_CDX = T.StructType(
+    [
+        T.StructField("file_id", T.IntegerType(), False),
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("urlkey", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("file_sha256", T.StringType(), False),
+    ]
+)
+
+
+def _gz_member(data: bytes) -> bytes:
+    """One DETERMINISTIC gzip member (mtime=0, no filename): the
+    member-per-record layout readers rely on to decompress a single
+    record from a seek — Common Crawl's .warc.gz shape."""
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(data)
+    return buf.getvalue()
+
+
+def write_warc_gz_files(
+    records: DataFrame,
+    out_dir: str,
+    prefix: str = "loong",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """Compressed sink: ``<prefix>-<file_id>.warc.gz`` with EVERY record
+    (and the leading warcinfo) its own gzip member — a reader seeks a
+    CDX offset and decompresses exactly one member, never the file.
+
+    Unlike write_warc_files + cdx_index (where offsets are pure
+    arithmetic the DuckDB oracle restates), compressed member offsets
+    exist only after compression, so this writer RETURNS the per-record
+    CDX rows itself (offset/length of each member, plus the file
+    sha256); the manifest is an aggregation of them. Same task shape:
+    one file per grouped-map task, same pinned (urlkey, url) order.
+    Byte-level agreement is pytest-verified by seeking the written
+    files (tests/test_warc.py)."""
+    import os
+
+    info_gz = _gz_member(warcinfo_bytes(warc_date))
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        name = f"{prefix}-{fid:05d}.warc.gz"
+        pdf = pdf.sort_values(["urlkey", "url"], kind="mergesort")
+        h = hashlib.sha256()
+        rows = []
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(info_gz)
+            h.update(info_gz)
+            pos = len(info_gz)
+            for r in pdf.itertuples():
+                member = _gz_member(
+                    bytes(r.header, "utf-8") + bytes(r.block) + b"\r\n\r\n"
+                )
+                f.write(member)
+                h.update(member)
+                rows.append((r.urlkey, r.url, pos, len(member), r.block_digest))
+                pos += len(member)
+        sha = h.hexdigest()
+        return pd.DataFrame(
+            [
+                {
+                    "file_id": fid,
+                    "filename": name,
+                    "urlkey": uk,
+                    "url": u,
+                    "offset": off,
+                    "length": ln,
+                    "digest": dg,
+                    "file_sha256": sha,
+                }
+                for uk, u, off, ln, dg in rows
+            ]
+        )
+
+    return records.select(
+        "file_id", "urlkey", "url", "header", "block", "block_digest"
+    ).groupBy("file_id").applyInPandas(write_one, schema=GZ_CDX)

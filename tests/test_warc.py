@@ -159,3 +159,42 @@ def test_cli_warc_export(capsys, spark, tmp_path):
     capsys.readouterr()
     assert cli.main(["warc", "--warehouse", wh2, "--out", str(tmp_path / "x")]) == 2
     assert "raw_pages" in capsys.readouterr().err
+
+
+def test_gz_members_seekable(spark, tmp_path):
+    """.warc.gz layout: every record its own deterministic gzip member —
+    seeking a returned offset and decompressing ONE member yields the
+    exact record; the aggregated manifest matches the files on disk."""
+    import gzip
+
+    from loong_spark.warc import write_warc_gz_files
+
+    out = str(tmp_path / "gz")
+    recs = assign_files(warc_records(_pages(spark), warc_date=DATE), n_files=2)
+    cdx = write_warc_gz_files(recs, out, warc_date=DATE).collect()
+    assert len(cdx) == 6
+    for row in cdx:
+        with open(os.path.join(out, row["filename"]), "rb") as f:
+            f.seek(row["offset"])
+            member = f.read(row["length"])
+        rec = gzip.decompress(member)
+        assert rec.startswith(b"WARC/1.1\r\n") and rec.endswith(b"\r\n\r\n")
+        assert f"WARC-Target-URI: {row['url']}\r\n".encode() in rec
+        head, _, rest = rec.partition(b"\r\n\r\n")
+        block = rest[:-4]
+        assert hashlib.sha256(block).hexdigest() == row["digest"]
+    # per-file byte totals and sha256 agree with the concatenated members
+    by_file = {}
+    for row in cdx:
+        by_file.setdefault(row["filename"], []).append(row)
+    for name, rows in by_file.items():
+        raw = open(os.path.join(out, name), "rb").read()
+        assert len(raw) == max(r["offset"] + r["length"] for r in rows)
+        assert hashlib.sha256(raw).hexdigest() == rows[0]["file_sha256"]
+        # whole-file decompression also works (members concatenate)
+        assert gzip.decompress(raw).count(b"WARC/1.1\r\n") == len(rows) + 1
+
+    # determinism: a second write produces byte-identical archives
+    out2 = str(tmp_path / "gz2")
+    cdx2 = write_warc_gz_files(recs, out2, warc_date=DATE).collect()
+    assert {r["file_sha256"] for r in cdx} == {r["file_sha256"] for r in cdx2}
