@@ -99,6 +99,8 @@ def cmd_crawl(args) -> int:
         over["w_sitemap"] = args.w_sitemap
     if getattr(args, "domain_cap", None) is not None:
         over["domain_cap"] = args.domain_cap
+    if getattr(args, "backoff", None) is not None:
+        over["backoff_mult"] = args.backoff
     # demo sitemaps are advertised via robots `Sitemap:` lines, so
     # discovery needs the robots fetch path on
     if args.demo and getattr(args, "fetch_sitemaps", False):
@@ -361,6 +363,12 @@ def main(argv: list[str] | None = None) -> int:
         help="crawl-fairness cap: at most N scheduled URLs per "
         "registrable domain (eTLD+1) per batch — bounds subdomain "
         "floods that per-host caps can't",
+    )
+    c.add_argument(
+        "--backoff", type=float, default=None, metavar="M",
+        help="adaptive politeness: hosts with an unreachable/5xx fetch "
+        "this batch wait floor(delay x M) instead of delay (M >= 1; "
+        "1 = off)",
     )
     c.add_argument(
         "--cache-raw", action="store_true",

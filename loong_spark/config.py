@@ -90,6 +90,17 @@ class CrawlConfig:
     #: one more narrow-key window keyed on canon.registrable_domain_col
     #: — same pinned total order, deterministic across parallelism.
     domain_cap: int | None = None
+    #: adaptive politeness backoff: a host whose batch had any
+    #: server-side failure (status NULL — unreachable — or 5xx) gets its
+    #: politeness clock advanced by floor(delay × backoff_mult) instead
+    #: of delay for the NEXT wait — back off from distressed hosts, the
+    #: AIMD half the static delay table can't express. 1.0 = off (exact
+    #: base semantics). Memoryless on purpose: the penalty derives from
+    #: THIS batch's fetched statuses, so no new host_state column, no
+    #: schema migration for existing warehouses, and resume is
+    #: unaffected. Deterministic; the Python oracle mirrors it
+    #: (e2e-tested).
+    backoff_mult: float = 1.0
     #: shuffle partitions for the pipeline's stages
     shuffle_partitions: int = 32
     #: size-aware join strategy for per-batch state tables (host_state
@@ -222,6 +233,11 @@ class CrawlConfig:
         # to the protocol's [0,1] in frontier.priority_col); keeping it
         # < 1 guarantees every content score stays above the robots
         # rows' pinned -1.0, preserving robots-fetch-first ordering.
+        if self.backoff_mult < 1.0:
+            raise ValueError(
+                f"backoff_mult must be >= 1.0 (got {self.backoff_mult!r}): a "
+                "failure must never SHORTEN the politeness wait"
+            )
         if not (0.0 <= self.w_sitemap < 1.0):
             raise ValueError(
                 f"w_sitemap must be in [0, 1) (got {self.w_sitemap!r}): the "

@@ -215,9 +215,17 @@ class Oracle:
 
         docs_written = failed = links = 0
         robots_fetched: list[tuple[str, str]] = []
+        backoff_hosts: set[str] = set()
         for rank, e in enumerate(scheduled):
             self.res.crawl_order.append((batch_id, rank, e.url))
             page = self.graph.get(e.url)
+            if self.cfg.backoff_mult > 1.0 and (
+                page is None or page["status"] >= 500
+            ):
+                # adaptive backoff signal: server-side failure
+                # (unreachable / 5xx) — mirrors the pipeline's
+                # fail_hosts filter over fetched statuses
+                backoff_hosts.add(e.host)
             if self.cfg.fetch_robots and split_url(e.url)[2] == "/robots.txt":
                 # robots responses: parsed (at end of batch), never
                 # retried — a host without a robots file stays on defaults
@@ -293,6 +301,8 @@ class Oracle:
                 if host in self.politeness
                 else self.cfg.default_delay
             )
+            if host in backoff_hosts:
+                delay = math.floor(delay * self.cfg.backoff_mult)
             self.host_next_eligible[host] = batch_id + delay
 
         # fetch_robots: merge parsed rules LAST — they apply from the

@@ -145,6 +145,8 @@ def next_eligible_for_scheduled(
     batch_id: int,
     default_delay: int,
     pol_small: bool = True,
+    fail_hosts: DataFrame | None = None,
+    backoff_mult: float = 1.0,
 ) -> DataFrame:
     """Per-host politeness clocks for this batch's scheduled hosts:
     (host, _ne_new = batch_id + delay). The delay dim is size-aware:
@@ -153,21 +155,34 @@ def next_eligible_for_scheduled(
     join whose broadcast side is ≤ global_budget hosts by construction —
     so the per-batch delay lookup never ships the full dim and never
     shuffles it for a budget-row probe side. Factored out of run_batch
-    so both regimes' plans are pinned in scripts/explain_audit.py."""
+    so both regimes' plans are pinned in scripts/explain_audit.py.
+
+    Adaptive backoff (cfg.backoff_mult > 1): ``fail_hosts`` — this
+    batch's hosts with a server-side failure, ⊆ scheduled hosts so its
+    broadcast is budget-bounded too — wait floor(delay × mult) instead
+    of delay. Memoryless: next batch's clock derives from next batch's
+    statuses (oracle.py mirrors exactly)."""
     delay_dim = politeness.select("host", "delay_s")
     if not pol_small:
         delay_dim = delay_dim.join(
             F.broadcast(sched.select("host").distinct()), "host", "semi"
         )
     delay_dim = F.broadcast(delay_dim)
-    return (
-        sched.select("host").distinct()
-        .join(delay_dim, "host", "left")
-        .select(
+    out = sched.select("host").distinct().join(delay_dim, "host", "left")
+    delay = F.coalesce(F.col("delay_s"), F.lit(default_delay))
+    if fail_hosts is not None and backoff_mult > 1.0:
+        out = out.join(
+            F.broadcast(fail_hosts.select("host").distinct().withColumn("_boff", F.lit(True))),
             "host",
-            (F.lit(batch_id) + F.coalesce(F.col("delay_s"), F.lit(default_delay)))
-            .cast("long").alias("_ne_new"),
+            "left",
         )
+        delay = F.when(
+            F.coalesce(F.col("_boff"), F.lit(False)),
+            F.floor(delay * F.lit(backoff_mult)),
+        ).otherwise(delay)
+    return out.select(
+        "host",
+        (F.lit(batch_id) + delay).cast("long").alias("_ne_new"),
     )
 
 
@@ -1123,8 +1138,16 @@ class CrawlPipeline:
         # broadcast_limit_bytes the politeness scan is semi-restricted to
         # this batch's ≤-budget scheduled hosts — never a full-dim
         # broadcast, never a dim shuffle for a budget-row probe side.
+        fail_hosts = None
+        if cfg.backoff_mult > 1.0:
+            # server-side failures only (unreachable / 5xx): 3xx/4xx are
+            # page-level verdicts, not host distress
+            fail_hosts = fetched.filter(
+                F.col("status").isNull() | (F.col("status") >= 500)
+            ).select("host")
         sched_hosts = next_eligible_for_scheduled(
-            sched, politeness, batch_id, cfg.default_delay, pol_small=pol_small
+            sched, politeness, batch_id, cfg.default_delay, pol_small=pol_small,
+            fail_hosts=fail_hosts, backoff_mult=cfg.backoff_mult,
         )
         win_counts = new_seen.groupBy("host").count().select(
             "host", F.col("count").cast("long").alias("_added")

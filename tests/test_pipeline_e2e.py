@@ -229,3 +229,20 @@ def test_domain_cap_crawl_matches_oracle(spark, warehouse):
         key = (batch_id, d)
         per_batch_dom[key] = per_batch_dom.get(key, 0) + 1
     assert max(per_batch_dom.values()) <= 2
+
+
+def test_backoff_crawl_matches_oracle(spark, warehouse):
+    """cfg.backoff_mult > 1: hosts with unreachable/5xx fetches this
+    batch wait floor(delay x mult); the whole crawl (order, seen, docs,
+    metrics) still matches the Python oracle exactly — the two AIMD
+    mirrors agree batch-for-batch."""
+    cfg = CrawlConfig(global_budget=20, backoff_mult=3.0)
+    golden = run_oracle(TINY, cfg)
+    base = run_oracle(TINY, CrawlConfig(global_budget=20))
+    # the knob actually bites on the TINY fixture (it has 500-status
+    # pages): some batch schedules a different set than without it
+    assert golden.crawl_order != base.crawl_order
+    pipe = make_pipeline(spark, warehouse, TINY, cfg)
+    metrics = pipe.run()
+    assert len(metrics) == len(golden.metrics)
+    assert_matches_oracle(pipe, golden)
