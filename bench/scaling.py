@@ -259,9 +259,10 @@ def evidence_block(latest_eff: float) -> str:
         "the documented ±2× weather waves; the FINAL round-5 tree (after the",
         "WARC sink, Gopher repetition, and domain-cap additions, none of",
         "which touch the scheduling kernel — domain_cap=None in the bench)",
-        "measured 1,328,234 URLs/s on 2026-08-21, inside the same band, with",
-        "its three raw cycles (90.3 → 31.0 → 22.6 s: JIT warm-up then a",
-        "noise wave settling) recorded in the artifact's `extra.raw` — the",
+        "measured 1,328,234 and 1,879,714 URLs/s in two same-day runs on",
+        "2026-08-21, inside the same band, with every raw cycle (first run",
+        "90.3 → 31.0 → 22.6 s, second 45.1 → 23.0 → 16.0 s: JIT warm-up then",
+        "the wave settling) recorded in the artifact's `extra.raw` — the",
         "raw per-cycle times are what let a reader tell spread from a code",
         "regression.",
         "",
